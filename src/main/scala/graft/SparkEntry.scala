@@ -1,13 +1,243 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo.{Components, LabelProp, PageRank, Triangles}
+import graft.derive.Derive
+import graft.graph.GraphOps
+import graft.synth.Synth
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query runs over the driver's events table reshaped into the
+  * BASELINE.json transcript shape ([[Synth.eventsAsTranscripts]]) and the
+  * edge table derived from it ([[Derive.edges]]); each SQL-expressible
+  * query has a DuckDB twin in [[oracleSql]] built over the *same*
+  * derivation CTE, with every computed column aliased identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Transcript-derived edge table of a testdata dir. */
+  def eventEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.edges(Synth.eventsAsTranscripts(spark, sfDir))
+
+  /** Flagship query on /root/testdata/sf0.001: PageRank over the
+    * transcript-derived link graph, top-20 vertices. */
+  def entry(spark: SparkSession): DataFrame = {
+    val edges = eventEdges(spark, "/root/testdata/sf0.001")
+    PageRank.run(edges, tol = 1e-6, maxIter = 60)
+      .orderBy(col("rank").desc, col("v"))
+      .limit(20)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edges" -> ((s, dir) =>
+      eventEdges(s, dir)
+        .select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+        .orderBy("src", "dst")),
+
+    "q_degrees" -> ((s, dir) =>
+      GraphOps.degrees(eventEdges(s, dir)).toDF()
+        .select(col("v"), col("outDeg").as("out_deg"), col("inDeg").as("in_deg"),
+          col("outW").cast("long").as("out_w"))
+        .orderBy("v")),
+
+    "q_pagerank" -> ((s, dir) =>
+      PageRank.run(eventEdges(s, dir), fixedIter = Some(10))
+        .select(col("v"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
+        .orderBy("v")),
+
+    "q_pagerank_conv" -> ((s, dir) =>
+      // to convergence (north-rule tolerance 1e-6); no SQL oracle —
+      // convergence-checked in ScalaTest against dense power iteration
+      PageRank.run(eventEdges(s, dir), tol = 1e-6, maxIter = 60)
+        .select(col("v"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
+        .orderBy("v")),
+
+    "q_cc_conv" -> ((s, dir) =>
+      Components.run(Derive.successionEdges(Synth.eventsAsTranscripts(s, dir)))
+        .select(col("v"), col("comp"))
+        .orderBy("v")),
+
+    "q_cc" -> ((s, dir) =>
+      Components.run(eventEdges(s, dir))
+        .select(col("v"), col("comp"))
+        .orderBy("v")),
+
+    "q_lpa" -> ((s, dir) =>
+      LabelProp.run(eventEdges(s, dir), iters = 3)
+        .select(col("v"), col("label"))
+        .orderBy("v")),
+
+    "q_triangles" -> ((s, dir) => Triangles.count(eventEdges(s, dir))),
+
+    "q_triangles_vertex" -> ((s, dir) =>
+      Triangles.perVertex(eventEdges(s, dir)).orderBy("v")),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE mirroring Synth.eventsAsTranscripts + Derive.edges
+    * exactly (same thresholds, same window orderings — note conv_id is the
+    * VARCHAR cast of user_id, so tool-chain ordering is lexicographic in
+    * both engines). */
+  private val derivationCte: String =
+    s"""WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role,
+         CASE WHEN value > ${Synth.ToolValueThreshold} THEN event_type END AS tool,
+         user_id * ${Synth.VidStride} + (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) AS vid
+  FROM events
+), succ AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT lag(vid) OVER w AS src, vid AS dst,
+           lag(role) OVER w AS prev_role, role AS cur_role
+    FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  ) WHERE src IS NOT NULL
+), tooluse AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vid, tool, row_number() OVER (PARTITION BY tool ORDER BY conv_id, turn_idx) AS rn
+    FROM t WHERE tool IS NOT NULL
+  ) WHERE rn <= ${Derive.MaxToolChain}
+), toolchain AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT lag(vid) OVER (PARTITION BY tool ORDER BY rn) AS src, vid AS dst FROM tooluse
+  ) WHERE src IS NOT NULL
+), skipp AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT lag(vid, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src, vid AS dst FROM t
+  ) WHERE src IS NOT NULL
+), alledges AS (
+  SELECT src, dst, 1 AS w FROM succ
+  UNION ALL SELECT src, dst, 2 AS w FROM succ WHERE prev_role <> cur_role
+  UNION ALL SELECT src, dst, 1 AS w FROM toolchain
+  UNION ALL SELECT src, dst, 1 AS w FROM skipp
+), edges AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(w) AS DOUBLE) AS weight FROM alledges WHERE src <> dst GROUP BY 1, 2
+)"""
+
+  /** Graph-prep CTEs shared by pagerank/cc/lpa oracles. */
+  private val graphCte: String =
+    """, verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), outw AS MATERIALIZED (
+  SELECT src, SUM(weight) AS ow FROM edges GROUP BY 1
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"""
+
+  /** Unrolled 10-iteration PageRank (DuckDB 1.0 has no aggregates in
+    * recursive CTEs, so fixed iterations are unrolled; the Spark side
+    * runs the identical fixed count). */
+  private def pagerankSql(iters: Int, alpha: Double = 0.85): String = {
+    val prep = derivationCte + graphCte +
+      """, trans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.ow AS p FROM edges e JOIN outw o ON e.src = o.src
+), vflag AS MATERIALIZED (
+  SELECT v.v, (o.src IS NOT NULL) AS has_out FROM verts v LEFT JOIN outw o ON v.v = o.src
+), r0 AS MATERIALIZED (
+  SELECT v, has_out, 1.0 / (SELECT n FROM nn) AS rank FROM vflag
+)"""
+    val steps = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s""", r$k AS MATERIALIZED (
+  SELECT f.v, f.has_out,
+         (1 - $alpha) / (SELECT n FROM nn)
+         + $alpha * (COALESCE(c.c, 0)
+                     + (SELECT COALESCE(SUM(rank), 0) FROM $prev WHERE NOT has_out) / (SELECT n FROM nn)) AS rank
+  FROM vflag f
+  LEFT JOIN (
+    SELECT tr.dst AS v, SUM(tr.p * p.rank) AS c
+    FROM trans tr JOIN $prev p ON tr.src = p.v GROUP BY 1
+  ) c ON f.v = c.v
+)"""
+    }.mkString
+    prep + steps +
+      s"\nSELECT v, CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_e9 FROM r$iters ORDER BY v"
+  }
+
+  /** Connected components over the succession-only chain subgraph via a
+    * recursive CTE (min reachable vertex id). */
+  private val ccConvSql: String =
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") +
+      """, und AS MATERIALIZED (
+  SELECT src, dst FROM succ UNION SELECT dst AS src, src AS dst FROM succ
+), sverts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+), reach(v, l) AS (
+  SELECT v, v FROM sverts
+  UNION
+  SELECT u.dst, r.l FROM und u JOIN reach r ON u.src = r.v WHERE r.l < u.dst
+)
+SELECT v, MIN(l) AS comp FROM reach GROUP BY v ORDER BY v"""
+
+  /** LPA, `iters` unrolled synchronous rounds, integer weights, smallest-
+    * label tie-break — mirrors graft.algo.LabelProp exactly. */
+  private def lpaSql(iters: Int): String = {
+    val prep = derivationCte +
+      """, und AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM edges
+  UNION ALL SELECT dst AS src, src AS dst, CAST(weight AS BIGINT) AS w FROM edges
+), verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), l0 AS MATERIALIZED (SELECT v, v AS label FROM verts)"""
+    val steps = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s""", l$k AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT u.dst AS v, p.label AS label, SUM(u.w) AS wt,
+           row_number() OVER (PARTITION BY u.dst ORDER BY SUM(u.w) DESC, p.label ASC) AS rn
+    FROM und u JOIN $prev p ON u.src = p.v
+    GROUP BY u.dst, p.label
+  ) WHERE rn = 1
+)"""
+    }.mkString
+    prep + steps + s"\nSELECT v, label FROM l$iters ORDER BY v"
+  }
+
+  private val trianglesCte: String =
+    derivationCte +
+      """, ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges WHERE src <> dst
+), tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1 JOIN ue e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM ue e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (convergence loops, full-graph CC) → driver records rows-only. */
+  def oracleSql: Map[String, String] = Map(
+    "q_edges" ->
+      (derivationCte +
+        "\nSELECT src, dst, CAST(weight AS BIGINT) AS weight FROM edges ORDER BY src, dst"),
+
+    "q_degrees" ->
+      (derivationCte +
+        """
+SELECT COALESCE(o.v, i.v) AS v,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w
+FROM (SELECT src AS v, COUNT(*) AS out_deg, SUM(weight) AS out_w FROM edges GROUP BY 1) o
+FULL OUTER JOIN (SELECT dst AS v, COUNT(*) AS in_deg FROM edges GROUP BY 1) i ON o.v = i.v
+ORDER BY v"""),
+
+    "q_pagerank" -> pagerankSql(10),
+
+    "q_cc_conv" -> ccConvSql,
+
+    "q_lpa" -> lpaSql(3),
+
+    "q_triangles" ->
+      (trianglesCte + "\nSELECT COUNT(*) AS triangles FROM tris"),
+
+    "q_triangles_vertex" ->
+      (trianglesCte +
+        """
+SELECT v, COUNT(*) AS triangles FROM (
+  SELECT x AS v FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
+) GROUP BY v ORDER BY v"""),
+  )
 }

@@ -1,0 +1,52 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.engine.Iterate
+import graft.graph.GraphOps
+
+/** Synchronous label propagation with deterministic tie-breaking — fixed
+  * iteration count, exact reproducible labels (north rule).
+  *
+  * Per iteration each vertex adopts the label with the greatest total
+  * incident edge weight among its (undirected) neighbours; ties break to
+  * the smallest label. Weights are integer-valued co-occurrence counts,
+  * so the argmax is exact (no float-ordering nondeterminism).
+  */
+object LabelProp {
+
+  /** @return (v LONG, label LONG) after exactly `iters` iterations. */
+  def run(
+      edges: DataFrame,
+      iters: Int = 3,
+      store: Option[Iterate.CheckpointStore] = None,
+      runName: String = "lpa"): DataFrame = {
+    val und = GraphOps.undirect(edges)
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    val state0 = GraphOps.vertices(edges).select(col("v"), col("v").as("label"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val byLabel = und
+        .join(state.select(col("v").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("v"), col("label"))
+        .agg(sum("w").as("wt"))
+      val rankW = Window.partitionBy(col("v"))
+        .orderBy(col("wt").desc, col("label").asc)
+      byLabel
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("label"))
+    }
+
+    val out = Iterate.run(runName, state0, step, (_, _, _) => false,
+      iters, Some(iters), store)
+    und.unpersist()
+    out
+  }
+}

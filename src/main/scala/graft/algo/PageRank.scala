@@ -1,0 +1,88 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.engine.Iterate
+
+/** Weighted PageRank by power iteration over the edge table — pure
+  * DataFrame joins/aggregations (north rule: "PageRank ... entirely via
+  * DataFrame/Catalyst joins and aggregations").
+  *
+  * Semantics: standard damped PageRank with out-weight-normalized
+  * transition probabilities and dangling-mass redistribution:
+  *   r'(v) = (1-α)/N + α·( Σ_{(u,v,w)} r(u)·w/outW(u)  +  D/N ),
+  *   D = Σ_{u dangling} r(u).
+  * Converges to max|Δ| < tol (default 1e-6, the north-rule tolerance).
+  *
+  * Scale notes: the normalized edge table is computed once, repartitioned
+  * by `src` and persisted — each iteration then shuffles only the (small)
+  * rank vector to the edge partitioning, aggregates contributions by
+  * `dst` (map-side partial agg), and never re-shuffles the edges. Rank
+  * state is truncated (localCheckpoint / durable Parquet) every iteration.
+  */
+object PageRank {
+
+  /** @param fixedIter run exactly this many iterations (no convergence
+    *                  checks — used by the DuckDB-mirrored oracle query)
+    * @return (v LONG, rank DOUBLE) */
+  def run(
+      edges: DataFrame,
+      alpha: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      fixedIter: Option[Int] = None,
+      store: Option[Iterate.CheckpointStore] = None,
+      runName: String = "pagerank"): DataFrame = {
+    val spark = edges.sparkSession
+
+    val verts = graft.graph.GraphOps.vertices(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count().toDouble
+
+    val outw = edges.groupBy(col("src")).agg(sum("weight").as("ow"))
+    // normalized transition edges, co-partitioned by src once for all iters
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("ow")).as("p"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    trans.count()
+
+    // vertices flagged dangling (no out-edges) so the per-iteration
+    // dangling-mass aggregate is a filter+sum, not an anti-join
+    val vflag = verts
+      .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vflag.count()
+    verts.unpersist()
+
+    val r0 = vflag.select(col("v"), col("hasOut"), lit(1.0 / n).as("rank"))
+
+    def step(ranks: DataFrame, iter: Int): DataFrame = {
+      val dangling = ranks.filter(!col("hasOut"))
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = trans
+        .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("p") * col("rank")).as("c"))
+      vflag
+        .join(contrib, Seq("v"), "left")
+        .select(
+          col("v"), col("hasOut"),
+          (lit((1.0 - alpha) / n) +
+            lit(alpha) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+    }
+
+    def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean = {
+      val delta = prev.select(col("v"), col("rank").as("r0"))
+        .join(next.select(col("v"), col("rank").as("r1")), "v")
+        .agg(max(abs(col("r1") - col("r0")))).head().getDouble(0)
+      delta < tol
+    }
+
+    val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
+      .select(col("v"), col("rank"))
+    out
+  }
+}

@@ -1,0 +1,137 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side iteration harness for the engine's iterative algorithms
+  * (PageRank, CC, LPA, walks) — the Spark analogue of the reference's
+  * `while (active_walker_num != 0)` super-step loop
+  * (include/walk.hpp:926; SURVEY.md §2.5 X3).
+  *
+  * Responsibilities:
+  *  - plan truncation each iteration (mandatory: iterative self-joins
+  *    otherwise blow up Catalyst analysis time — SURVEY.md §7.4.1);
+  *  - optional durable checkpointing to Parquet with per-(iteration,
+  *    partition) lineage + skew metrics (north rule);
+  *  - resume: pick up from the last complete checkpointed iteration.
+  */
+object Iterate {
+
+  /** One checkpoint root per named run: `<dir>/<name>/iter=k/` holds the
+    * state Parquet, `<dir>/<name>/_lineage/` the metrics rows. An
+    * `_SUCCESS` file (written by Spark's Parquet committer) marks an
+    * iteration complete, making resume safe under mid-write kills. */
+  final class CheckpointStore(val root: String, spark: SparkSession) {
+    private val fsConf = spark.sparkContext.hadoopConfiguration
+    private def fs(p: org.apache.hadoop.fs.Path) = p.getFileSystem(fsConf)
+
+    def iterPath(name: String, iter: Int) = s"$root/$name/iter=$iter"
+
+    /** Truncation-only save: durable write + read-back, no lineage rows
+      * (used for anonymous in-run truncation where metrics aren't kept).
+      * Deletes the iteration before last to bound disk usage. */
+    def saveNoLineage(name: String, iter: Int, df: DataFrame): DataFrame = {
+      val p = iterPath(name, iter)
+      df.write.mode("overwrite").parquet(p)
+      if (iter >= 2) {
+        val old = new org.apache.hadoop.fs.Path(iterPath(name, iter - 2))
+        try fs(old).delete(old, true) catch { case _: Throwable => () }
+      }
+      spark.read.parquet(p)
+    }
+
+    def save(name: String, iter: Int, df: DataFrame): DataFrame = {
+      val p = iterPath(name, iter)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(p)
+      val out = spark.read.parquet(p)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      // per-partition lineage row: (runId, iter, partId, rows, wallMs)
+      val lineage = out
+        .groupBy(spark_partition_id().as("partId"))
+        .agg(count(lit(1)).as("rows"))
+        .select(lit(name).as("runId"), lit(iter).as("iter"),
+          col("partId"), col("rows"), lit(wallMs).as("wallMs"))
+      lineage.write.mode("append").parquet(s"$root/$name/_lineage")
+      out
+    }
+
+    /** Highest iteration with a complete (_SUCCESS-marked) checkpoint. */
+    def latest(name: String): Option[(Int, DataFrame)] = {
+      val base = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val f = fs(base)
+      if (!f.exists(base)) return None
+      val iters = f.listStatus(base).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("iter=") => s.stripPrefix("iter=").toInt }
+        .filter(i => f.exists(new org.apache.hadoop.fs.Path(s"${iterPath(name, i)}/_SUCCESS")))
+      if (iters.isEmpty) None
+      else {
+        val i = iters.max
+        Some((i, spark.read.parquet(iterPath(name, i))))
+      }
+    }
+
+    def lineage(name: String): DataFrame =
+      spark.read.parquet(s"$root/$name/_lineage")
+
+    /** Max/avg partition-row skew per iteration — the north rule's skew
+      * metric, derivable from the lineage rows. */
+    def skew(name: String): DataFrame =
+      lineage(name).groupBy("iter")
+        .agg((max("rows") / avg("rows")).as("skewMaxOverAvg"))
+  }
+
+  /** Run `step` until `converged` or `maxIter`, truncating lineage every
+    * iteration. With a [[CheckpointStore]], each iteration is durable and
+    * the run resumes from the last complete iteration; without one,
+    * localCheckpoint gives in-memory truncation only.
+    *
+    * `converged(prev, next, iter)` may run Spark actions (e.g. a max-delta
+    * aggregate); it is skipped when `fixedIter` pins the iteration count.
+    */
+  def run(
+      name: String,
+      state0: DataFrame,
+      step: (DataFrame, Int) => DataFrame,
+      converged: (DataFrame, DataFrame, Int) => Boolean = (_, _, _) => false,
+      maxIter: Int = 100,
+      fixedIter: Option[Int] = None,
+      store: Option[CheckpointStore] = None): DataFrame = {
+
+    // Plan truncation MUST also reset plan statistics, not just lineage:
+    // localCheckpoint's LogicalRDD carries the *estimated* stats of the
+    // plan it replaced, so a self-joining step (CC pointer jump) squares
+    // sizeInBytes every iteration until Catalyst drowns in BigInteger
+    // arithmetic (measured: minutes per iteration by iter ~25). A Parquet
+    // write + read-back resets stats to the real file size each iteration
+    // — and is the durable-checkpoint path anyway.
+    lazy val tmpStore = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-iter-").toAbsolutePath.toString
+      new CheckpointStore(dir, state0.sparkSession)
+    }
+    def truncate(df: DataFrame, iter: Int): DataFrame = store match {
+      case Some(s) => s.save(name, iter, df)
+      case None => tmpStore.saveNoLineage(name, iter, df)
+    }
+
+    var (iter0, state) = store.flatMap(_.latest(name)) match {
+      case Some((i, df)) => (i, df)
+      case None => (0, truncate(state0, 0))
+    }
+    val last = fixedIter.getOrElse(maxIter)
+    var iter = iter0
+    var done = false
+    while (iter < last && !done) {
+      val t0 = System.nanoTime()
+      val next = truncate(step(state, iter), iter + 1)
+      done = fixedIter.isEmpty && converged(state, next, iter + 1)
+      state = next
+      iter += 1
+      // reference X4 per-step progress log (include/walk.hpp:928-933)
+      System.err.println(f"[graft:$name] iter=$iter wall=${(System.nanoTime() - t0) / 1e9}%.2fs done=$done")
+    }
+    state
+  }
+}

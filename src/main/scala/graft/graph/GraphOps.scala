@@ -1,0 +1,108 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{AdjRow, EdgeRow, VertexDeg}
+
+/** Graph-substrate operators over the (src, dst, weight) edge table:
+  * degrees, vertex extraction, undirected view, and the Spark-native CSR
+  * (per-vertex sorted adjacency + Vose alias tables).
+  *
+  * Reference analogues (SURVEY.md §2.2): degree computation
+  * include/graph.hpp:445-459 (P2), CSR build include/graph.hpp:309-330
+  * (P5), alias build include/walk.hpp:538-652 (T2).
+  */
+object GraphOps {
+
+  /** All vertices appearing in the edge table. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .distinct()
+
+  /** Undirected view: each edge emitted both ways (reference "load as
+    * undirected", include/graph.hpp:430-443, P1). */
+  def undirect(edges: DataFrame): DataFrame =
+    edges.select("src", "dst", "weight")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+
+  /** Per-vertex in/out degree and weight sums; vertices with no edges in a
+    * direction get zeros. Partial+final hash aggregation is the
+    * reference's MPI_Allreduce (P2). */
+  def degrees(edges: DataFrame): Dataset[VertexDeg] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val out = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("outDeg"), sum("weight").as("outW"))
+    val in = edges.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).as("inDeg"), sum("weight").as("inW"))
+    out.join(in, Seq("v"), "full_outer")
+      .select(
+        col("v"),
+        coalesce(col("outDeg"), lit(0L)).as("outDeg"),
+        coalesce(col("inDeg"), lit(0L)).as("inDeg"),
+        coalesce(col("outW"), lit(0.0)).as("outW"),
+        coalesce(col("inW"), lit(0.0)).as("inW"))
+      .as[VertexDeg]
+  }
+
+  /** Vose alias-table construction over unnormalized weights — O(n),
+    * numerically robust two-worklist formulation. Returns (prob, alias):
+    * sample i uniform; accept i if u2 < prob(i) else alias(i). Same math
+    * as the reference's init_alias_tables (include/walk.hpp:538-652),
+    * re-derived from the published alias method (Vose 1991). */
+  def buildAlias(wts: Array[Double]): (Array[Double], Array[Int]) = {
+    val n = wts.length
+    val prob = new Array[Double](n)
+    val alias = new Array[Int](n)
+    val total = wts.sum
+    val scaled = new Array[Double](n)
+    var i = 0
+    while (i < n) { scaled(i) = wts(i) * n / total; i += 1 }
+    val small = new java.util.ArrayDeque[Int]()
+    val large = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) { (if (scaled(i) < 1.0) small else large).addLast(i); i += 1 }
+    while (!small.isEmpty && !large.isEmpty) {
+      val s = small.pollLast(); val l = large.pollLast()
+      prob(s) = scaled(s); alias(s) = l
+      scaled(l) = (scaled(l) + scaled(s)) - 1.0
+      (if (scaled(l) < 1.0) small else large).addLast(l)
+    }
+    while (!large.isEmpty) { val l = large.pollLast(); prob(l) = 1.0; alias(l) = l }
+    while (!small.isEmpty) { val s = small.pollLast(); prob(s) = 1.0; alias(s) = s }
+    (prob, alias)
+  }
+
+  /** Per-vertex CSR rows: adjacency sorted by neighbour id (for
+    * array_contains probes) + alias tables for O(1) weighted sampling.
+    * One shuffle (groupBy src); intended to be built once and persisted
+    * across all walk iterations. */
+  def adjacency(edges: DataFrame): Dataset[AdjRow] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .groupBy(col("src").as("v"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("weight")))).as("adj"))
+      .as[(Long, Array[(Long, Double)])]
+      .map { case (v, adj) =>
+        val nbrs = adj.map(_._1)
+        val wts = adj.map(_._2)
+        val (prob, alias) = buildAlias(wts)
+        AdjRow(v, nbrs, wts, prob, alias)
+      }
+  }
+
+  /** Heavy hitters: vertices whose out-degree exceeds `threshold` — the
+    * salting targets (north rule; reference's degree-aware partitioning
+    * include/graph.hpp:461-503 is the same concern). */
+  def heavyHitters(edges: DataFrame, threshold: Long): DataFrame =
+    edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outDeg"))
+      .filter(col("outDeg") > threshold)
+
+  /** Salt a skewed aggregation key: spreads each (key) into `salts`
+    * sub-keys; callers aggregate on (key, salt) first, then on key —
+    * two-level aggregation that bounds any single reducer's load. */
+  def saltCol(key: org.apache.spark.sql.Column, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(key, spark_partition_id()), lit(salts))
+}
