@@ -6,6 +6,7 @@ import graft.algo.{Components, LabelProp, PageRank, Triangles}
 import graft.derive.Derive
 import graft.graph.GraphOps
 import graft.synth.Synth
+import graft.walk.Walk
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +75,30 @@ object SparkEntry {
 
     "q_triangles_vertex" -> ((s, dir) =>
       Triangles.perVertex(eventEdges(s, dir)).orderBy("v")),
+
+    // walk queries: deterministic (hash-RNG) but not SQL-expressible →
+    // rows-only driver check; distribution correctness is in WalkSpec
+    "q_deepwalk" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      Walk.paths(Walk.firstOrder(edges, starts, maxSteps = 8, seed = 42))
+        .orderBy("walkerId")
+    }),
+
+    "q_ppr_visits" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.uniformStarts(edges, 2000, seed = 42)
+      Walk.visitCounts(
+          Walk.firstOrder(edges, starts, maxSteps = 40, keepProb = 0.85, seed = 42))
+        .orderBy("v")
+    }),
+
+    "q_node2vec" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      Walk.paths(Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 42))
+        .orderBy("walkerId")
+    }),
   )
 
   // ---------------------------------------------------------------- oracle

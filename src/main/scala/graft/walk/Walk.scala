@@ -1,0 +1,243 @@
+package graft.walk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+import graft.synth.Synth
+
+/** Distributed random-walk engine over the edge table — the Spark-native
+  * re-expression of the reference's WalkEngine (include/walk.hpp; SURVEY.md
+  * §2.3–2.5). Walk semantics follow the reference's P(e) = Pe·Ps·Pd
+  * decomposition (README.md:392-434):
+  *
+  *  - Pe (extension / termination): truncation at `maxSteps` and/or a
+  *    geometric continue-probability `keepProb` (reference T1,
+  *    include/walk.hpp:956-973); zero-out-degree vertices terminate
+  *    walkers (include/walk.hpp:956-961).
+  *  - Ps (static): edge weight, materialized once per vertex as a Vose
+  *    alias table for O(1) sampling (reference T2, include/walk.hpp:538-652).
+  *  - Pd (dynamic, second order): node2vec's 1/p, 1, 1/q over the previous
+  *    vertex's neighbourhood. Where the reference rejection-samples with
+  *    remote state queries (T3/T6), the joins formulation computes the
+  *    exact per-candidate distribution (frontier ⋈ adjacency(curV) ⋈
+  *    neighbour-set(prevV)) and inverse-CDF samples once — same
+  *    distribution, no retry loop (SURVEY.md §2.10).
+  *
+  * All randomness is xxhash64(seed, walkerId, step[, salt]) — identical
+  * across retries, resumes, and parallelism levels (SURVEY.md §4.4).
+  * Output is the footprint table (walkerId, step, vertex) — the reference's
+  * Footprint design (include/path.hpp:37-44); [[paths]] assembles per-walker
+  * sequences (reference assemble_path, include/path.hpp:164-477, which is
+  * one groupBy + sort_array here).
+  */
+object Walk {
+
+  /** Deterministic U[0,1) per (walker, step, salt). */
+  private def rand(seed: Long, salt: String): Column =
+    Synth.hashRand(lit(seed), col("walkerId"), col("step"), lit(salt))
+
+  /** O(1) alias-table draw over a vertex's out-edges. */
+  private val aliasSample =
+    udf { (nbrs: Seq[Long], prob: Seq[Double], alias: Seq[Int], r1: Double, r2: Double) =>
+      val n = nbrs.size
+      val i = math.min((r1 * n).toInt, n - 1)
+      if (r2 < prob(i)) nbrs(i) else nbrs(alias(i))
+    }
+
+  /** Exact node2vec draw: weight × (back ? 1/p : common-neighbour ? 1 : 1/q),
+    * inverse-CDF over the candidate list. `prevNbrs` is sorted (binary
+    * search, cf. reference src/apps/node2vec.hpp:158-166). */
+  private val node2vecSample =
+    udf { (nbrs: Seq[Long], wts: Seq[Double], prevV: Long, prevNbrs: Seq[Long],
+           p: Double, q: Double, r: Double) =>
+      val n = nbrs.size
+      var total = 0.0
+      val cum = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val c = nbrs(i)
+        val bias =
+          if (c == prevV) 1.0 / p
+          else if (prevNbrs != null &&
+            java.util.Arrays.binarySearch(prevNbrs.toArray, c) >= 0) 1.0
+          else 1.0 / q
+        total += wts(i) * bias
+        cum(i) = total
+        i += 1
+      }
+      val dart = r * total
+      var j = 0
+      while (j < n - 1 && cum(j) <= dart) j += 1
+      nbrs(j)
+    }
+
+  /** Walker start vertices: walker i starts at the vertex of dense rank
+    * (i mod |V|) — the reference's default equal distribution
+    * (include/walk.hpp:403-411). */
+  def equalStarts(edges: DataFrame, numWalkers: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val verts = GraphOps.vertices(edges)
+    val indexed = graft.derive.Derive.withDenseVid(
+      verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
+      .select(col("conv_id").as("v"), col("vid").as("idx"))
+    val nV = indexed.count()
+    spark.range(numWalkers).select(col("id").as("walkerId"), pmod(col("id"), lit(nV)).as("idx"))
+      .join(indexed, "idx")
+      .select(col("walkerId"), col("v").as("curV"))
+  }
+
+  /** Uniform random starts: vertex of dense rank hash(walker) mod |V|
+    * (reference include/walk.hpp:413-421, made deterministic). */
+  def uniformStarts(edges: DataFrame, numWalkers: Long, seed: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val verts = GraphOps.vertices(edges)
+    val indexed = graft.derive.Derive.withDenseVid(
+      verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
+      .select(col("conv_id").as("v"), col("vid").as("idx"))
+    val nV = indexed.count()
+    spark.range(numWalkers)
+      .select(col("id").as("walkerId"),
+        pmod(xxhash64(lit(seed), col("id"), lit("start")), lit(nV)).as("idx"))
+      .join(indexed, "idx")
+      .select(col("walkerId"), col("v").as("curV"))
+  }
+
+  /** First-order walk (DeepWalk `keepProb=1`, PPR `maxSteps` large &
+    * `keepProb=1-α`). Returns footprints (walkerId, step, vertex) with
+    * step 0 = start vertex.
+    *
+    * Per iteration: one co-partitioned hash join frontier⋈adjacency + the
+    * sampling projection; frontier and the growing footprint set are
+    * truncated via Parquet (see Iterate's stats rationale). Walkers at
+    * vertices with no out-edges terminate (inner join drops them).
+    */
+  def firstOrder(
+      edges: DataFrame,
+      starts: DataFrame,              // (walkerId, curV)
+      maxSteps: Int,
+      keepProb: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val spark = edges.sparkSession
+    val adj = GraphOps.adjacency(edges).toDF()
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft-walk-").toString
+    val fpDir = s"$workDir/footprints"
+
+    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
+    frontier.write.mode("overwrite").parquet(s"$workDir/frontier")
+    frontier = spark.read.parquet(s"$workDir/frontier")
+    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+      .write.mode("append").parquet(fpDir)
+
+    var step = 0
+    var active = frontier.count()
+    while (active > 0 && step < maxSteps) {
+      val alive =
+        if (keepProb >= 1.0) frontier
+        else frontier.filter(rand(seed, "keep") < keepProb)
+      val advanced = alive
+        .join(adj, alive("curV") === adj("v"))
+        .select(
+          col("walkerId"),
+          (col("step") + 1).as("step"),
+          aliasSample(col("nbrs"), col("prob"), col("alias"),
+            rand(seed, "a1"), rand(seed, "a2")).as("curV"))
+      advanced.write.mode("overwrite").parquet(s"$workDir/frontier_next")
+      frontier = spark.read.parquet(s"$workDir/frontier_next")
+      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        .write.mode("append").parquet(fpDir)
+      // swap files so the next overwrite doesn't clobber the live frontier
+      val fs = new org.apache.hadoop.fs.Path(workDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/frontier"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$workDir/frontier_next"),
+        new org.apache.hadoop.fs.Path(s"$workDir/frontier"))
+      frontier = spark.read.parquet(s"$workDir/frontier")
+      step += 1
+      active = frontier.count()
+      System.err.println(s"[graft:walk] step=$step active=$active")
+    }
+    spark.read.parquet(fpDir)
+  }
+
+  /** Second-order node2vec walk (exact distribution via joins; SURVEY.md
+    * §2.10). First step is first-order; later steps bias by 1/p (return),
+    * 1 (common neighbour), 1/q (explore). */
+  def node2vec(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      p: Double = 1.0,
+      q: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val spark = edges.sparkSession
+    val adj = GraphOps.adjacency(edges).toDF()
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft-n2v-").toString
+    val fpDir = s"$workDir/footprints"
+
+    var frontier = starts.select(
+      col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
+    frontier.write.mode("overwrite").parquet(s"$workDir/frontier")
+    frontier = spark.read.parquet(s"$workDir/frontier")
+    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+      .write.mode("append").parquet(fpDir)
+
+    var step = 0
+    var active = frontier.count()
+    while (active > 0 && step < maxSteps) {
+      val withAdj = frontier.join(adj, frontier("curV") === adj("v"))
+      val withPrev = withAdj
+        .join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
+      val advanced = withPrev.select(
+        col("walkerId"),
+        (col("step") + 1).as("step"),
+        when(col("prevV").isNull,
+          aliasSample(col("nbrs"), col("prob"), col("alias"),
+            rand(seed, "a1"), rand(seed, "a2")))
+          .otherwise(
+            node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
+              lit(p), lit(q), rand(seed, "n2v"))).as("curV"),
+        col("curV").as("prevV"))
+      advanced.write.mode("overwrite").parquet(s"$workDir/frontier_next")
+      val fs = new org.apache.hadoop.fs.Path(workDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/frontier"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$workDir/frontier_next"),
+        new org.apache.hadoop.fs.Path(s"$workDir/frontier"))
+      frontier = spark.read.parquet(s"$workDir/frontier")
+      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        .write.mode("append").parquet(fpDir)
+      step += 1
+      active = frontier.count()
+      System.err.println(s"[graft:n2v] step=$step active=$active")
+    }
+    spark.read.parquet(fpDir)
+  }
+
+  /** Assemble per-walker ordered paths from footprints (reference
+    * assemble_path, include/path.hpp:164-477 — 310 lines of manual shuffle
+    * become one aggregation). */
+  def paths(footprints: DataFrame): DataFrame =
+    footprints
+      .groupBy("walkerId")
+      .agg(transform(sort_array(collect_list(struct(col("step"), col("vertex")))),
+        x => x.getField("vertex")).as("path"))
+
+  /** Per-vertex visit counts (PPR estimates; reference src/apps/ppr.hpp). */
+  def visitCounts(footprints: DataFrame): DataFrame =
+    footprints.groupBy(col("vertex").as("v")).agg(count(lit(1)).as("visits"))
+
+  /** Paths as the reference's text dump: `walkerId len v0 v1 ...`
+    * (include/path.hpp:94-102). */
+  def pathsText(footprints: DataFrame): DataFrame =
+    paths(footprints).select(
+      concat_ws(" ", col("walkerId"), size(col("path")),
+        concat_ws(" ", col("path"))).as("line"))
+}
