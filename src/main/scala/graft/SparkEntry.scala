@@ -7,6 +7,9 @@ import graft.derive.Derive
 import graft.graph.GraphOps
 import graft.synth.Synth
 import graft.walk.Walk
+import graft.text.TextOps
+import graft.ann.Ann
+import graft.multimodal.MultiModal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,7 +102,72 @@ object SparkEntry {
       Walk.paths(Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 42))
         .orderBy("walkerId")
     }),
+
+    // ------------- training-data pipeline ops (documents / embeddings) --
+
+    "q_doc_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+
+    "q_doc_quality" -> ((s, dir) =>
+      TextOps.qualityScores(docs(s, dir)).orderBy("doc_id")),
+
+    "q_doc_langid" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "q_doc_dedup" -> ((s, dir) =>
+      TextOps.exactDupGroups(docs(s, dir)).orderBy("fp")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      // brute-force reference bounded to doc_id<1000 (exact oracle at any sf)
+      TextOps.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 1000), n = 3, threshold = 0.1)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_minhash_lsh" -> ((s, dir) =>
+      // scale path for near-dup: rows-only check; recall tested in PipelineSpec
+      TextOps.minhashLshPairs(docs(s, dir), threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      TextOps.simhashPairs(docs(s, dir), maxDist = 3).orderBy("doc_a", "doc_b")),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp64"))
+        .orderBy("doc_id")),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = embeds(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_e4"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Ann.bruteForceNearDupPairs(embeds(s, dir).filter(col("vec_id") < 1000), threshold = 0.35)
+        .orderBy("vec_a", "vec_b")),
+
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = embeds(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_mm_features" -> ((s, dir) =>
+      MultiModal.extractFeatures(MultiModal.syntheticAssets(docs(s, dir))).toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")) * 1e4)
+            .cast("long").as("featsum_e4"))
+        .orderBy("asset_id")),
+
+    "q_mm_frames" -> ((s, dir) =>
+      MultiModal.sampleFrames(MultiModal.syntheticAssets(docs(s, dir))).toDF()
+        .select(col("asset_id"), col("frame_idx"), col("offset"))
+        .orderBy("asset_id", "frame_idx")),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---------------------------------------------------------------- oracle
 
@@ -264,5 +332,98 @@ ORDER BY v"""),
 SELECT v, COUNT(*) AS triangles FROM (
   SELECT x AS v FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
 ) GROUP BY v ORDER BY v"""),
+
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+FROM documents ORDER BY doc_id""",
+
+    "q_doc_quality" -> {
+      val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS nchar,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t IN ($stopList))) AS DOUBLE) AS stops
+  FROM documents)
+SELECT doc_id, CAST(nchar AS BIGINT) AS n_chars, CAST(ntok AS BIGINT) AS n_tokens,
+       ROUND(punct / nchar, 6) AS punct_ratio,
+       ROUND(stops / ntok, 6) AS stopword_ratio,
+       ROUND(nchar / ntok, 6) AS mean_token_len
+FROM q ORDER BY doc_id"""
+    },
+
+    "q_doc_langid" -> {
+      def inList(l: Seq[String]) = l.map(s => s"'$s'").mkString(", ")
+      val m = TextOps.LangMarkers
+      s"""WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN (${inList(m("de"))}))) AS h_de,
+    len(list_filter(t, x -> x IN (${inList(m("en"))}))) AS h_en,
+    len(list_filter(t, x -> x IN (${inList(m("es"))}))) AS h_es,
+    len(list_filter(t, x -> x IN (${inList(m("fr"))}))) AS h_fr
+  FROM tok)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM h ORDER BY doc_id"""
+    },
+
+    "q_doc_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 1000
+), s AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(ROUND(j * 1000000) AS BIGINT) AS jaccard_e6
+FROM p WHERE j >= 0.1 ORDER BY doc_a, doc_b""",
+
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+s AS MATERIALIZED (
+  SELECT query_id, neighbor_id, $cosSql AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, rank, neighbor_id, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
+FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embed_neardup" ->
+      s"""WITH q AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings WHERE vec_id < 1000),
+c AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings WHERE vec_id < 1000),
+s AS (
+  SELECT vec_a, vec_b, $cosSql AS cos FROM q, c WHERE vec_a < vec_b)
+SELECT vec_a, vec_b, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
+FROM s WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
   )
+
+  /** Double-precision cosine in DuckDB, summation order identical to the
+    * Spark aggregate() fold so the doubles match bitwise. */
+  private val cosSql: String =
+    """(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+   / (sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))))"""
 }

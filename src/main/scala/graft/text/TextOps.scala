@@ -1,0 +1,209 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines over the `documents` table (doc_id, text, lang, source,
+  * n_chars). All operators are pure column expressions or tightly-scoped
+  * UDFs over pre-tokenized arrays; everything is deterministic.
+  *
+  * Scale notes: exact dedup and fingerprinting are single hash-aggregates;
+  * MinHash-LSH is the scale path for near-dup (candidates via band-bucket
+  * join — linear in docs, no n² pair enumeration); the brute-force n-gram
+  * Jaccard exists as the small-scale oracle-checked reference.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "this", "that")
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic
+    * (deliberately tiny — the operator shape is what matters; swap lists
+    * for real ones in production). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "pour"))
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** (doc_id, n_tokens) — whitespace tokenization plus a BPE-ish subword
+    * estimate (tokens ≈ ceil(chars/4), the common budget heuristic). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_est"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — the standard cheap text-quality features. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nChar = length(col("text")).cast("double")
+    val puncts = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val stops = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nChar.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(puncts / nChar, 6).as("punct_ratio"),
+      round(stops / nTok, 6).as("stopword_ratio"),
+      round(nChar / nTok, 6).as("mean_token_len"))
+  }
+
+  /** Stopword-marker language ID: argmax of per-language marker-token hits,
+    * smallest language code on ties, 'und' when no marker hits. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    docs.select(
+      col("doc_id"),
+      when(greatest(scored.map(_.getField("hits")): _*) === 0, lit("und"))
+        .otherwise(
+          // argmax by hits, tie-break smallest lang code: sort (hits desc,
+          // lang asc) via array_max over (hits, negated-lang) is messy —
+          // use a fold over the sorted-by-lang list keeping strict max
+          scored.reduceLeft((a, b) =>
+            when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+            .getField("lang"))
+        .as("lang_guess"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (portable across engines). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Exact duplicate groups: (fp, n_docs, keep_id = min doc_id). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+
+  /** Rolling polynomial 64-bit hash over tokens (document fingerprinting
+    * with wraparound arithmetic — engine-side only, tested in ScalaTest). */
+  val rollingHash: Column => Column = {
+    val f = udf { toks: Seq[String] =>
+      var h = 1125899906842597L
+      toks.foreach { t => h = h * 31L + t.hashCode.toLong }
+      h
+    }
+    (text: Column) => f(tokens(text))
+  }
+
+  /** Word n-gram shingles (default 3-grams; falls back to the whole token
+    * list when the doc is shorter than n). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (brute force over a<b —
+    * the small-scale reference; MinHash-LSH below is the scale path). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
+  }
+
+  /** MinHash signatures: k independent hash functions h_i(s) =
+    * xxhash64(i, s), signature(i) = min over shingles. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+    }: _*)
+    sh.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** MinHash-LSH near-dup candidates: band the signature (bands of
+    * `rowsPerBand`), bucket-join on (band, bandHash), then verify with the
+    * exact signature similarity. Linear in corpus size (the scale path:
+    * candidates come from bucket groups, never from an n² cross join);
+    * hot buckets are bounded by `maxBucket` (drop-with-log semantics).
+    * @return (doc_a, doc_b, sim_e6) with estimated Jaccard >= threshold */
+  def minhashLshPairs(
+      docs: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
+      n: Int = 3, threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, k, n).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+          .as(Seq("band", "bucket")))
+    val bounded = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= maxBucket)
+    val cand = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / k).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
+  /** 64-bit SimHash over tokens: sign-sum of per-token hash bits. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val f = udf { toks: Seq[String] =>
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        // splitmix64 of the token's 32-bit hash: cheap, deterministic
+        var z = t.hashCode.toLong * -7046029254386353131L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z = z ^ (z >>> 31)
+        var i = 0
+        while (i < 64) { if (((z >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) h |= (1L << i); i += 1 }
+      h
+    }
+    docs.select(col("doc_id"), f(tokens(lower(col("text")))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist. Blocked by
+    * 16-bit chunks (a pair within distance d<=3 must agree on at least one
+    * of 4 chunks — pigeonhole), so the join is bucket-local, not n². */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "chunk blocking assumes maxDist <= 3 (4 chunks)")
+    val hs = simhash(docs)
+    val chunked = hs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "key")))
+    val pairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("hamming"))
+  }
+}
