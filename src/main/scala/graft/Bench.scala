@@ -1,24 +1,110 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo.{Components, LabelProp, PageRank, Triangles}
+import graft.engine.Iterate
+import graft.text.TextOps
+import graft.walk.Walk
+
+/** Benchmark main (driver contract): runs the headline workload on
+  * `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]` and prints ONE JSON
+  * line. Headline metric follows BASELINE.json: edges processed/sec over
+  * gather-scatter (PageRank power) iterations, plus PageRank
+  * time-to-convergence (1e-6) and walk step throughput.
+  */
 object Bench {
+
+  final case class Result(
+      seconds: Map[String, Double],
+      edges: Long,
+      prIters: Int,
+      prSec: Double,
+      walkSteps: Long,
+      walkSec: Double)
+
+  def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The headline workload over one testdata dir. */
+  def headline(spark: SparkSession, sfDir: String): Result = {
+    var secs = Map[String, Double]()
+
+    val (edges, tDerive) = time {
+      val e = SparkEntry.eventEdges(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    val eCount = edges.count()
+    secs += "derive_edges" -> tDerive
+
+    val (_, tPr) = time { PageRank.run(edges, tol = 1e-6, maxIter = 60).count() }
+    val prIters = Iterate.lastIterations
+    secs += "pagerank_conv" -> tPr
+
+    val (_, tCc) = time { Components.run(edges).count() }
+    secs += "cc" -> tCc
+
+    val (_, tLpa) = time { LabelProp.run(edges, iters = 3).count() }
+    secs += "lpa" -> tLpa
+
+    val (_, tTri) = time { Triangles.count(edges).head() }
+    secs += "triangles" -> tTri
+
+    val walkLen = 10
+    val nWalkers = 20000L
+    val ((walkSteps, _), tWalk) = time {
+      val fp = Walk.firstOrder(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
+      (fp.count() - nWalkers, ()) // steps = footprints minus starts
+    }
+    secs += "deepwalk" -> tWalk
+
+    val (_, tN2v) = time {
+      Walk.node2vec(edges, Walk.equalStarts(edges, 5000L), maxSteps = 6,
+        p = 2.0, q = 0.5).count()
+    }
+    secs += "node2vec" -> tN2v
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (_, tLsh) = time { TextOps.minhashLshPairs(docs).count() }
+    secs += "minhash_lsh" -> tLsh
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, tAnn) = time {
+      graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5).count()
+    }
+    secs += "ann_topk" -> tAnn
+
+    val walkStepsTotal = nWalkers * walkLen // upper bound; dead walkers stop early
+    Result(secs, eCount, prIters, tPr, walkStepsTotal, tWalk)
+  }
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val r = headline(spark, sfDir)
+    val qs = r.seconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = r.seconds.values.sum
+    val edgesPerSec = r.edges.toDouble * r.prIters / r.prSec
+    val stepsPerSec = r.walkSteps / r.walkSec
+    println(
+      f"""{"metric":"edges_per_sec_pagerank","value":$edgesPerSec%.0f,"unit":"edges/sec","queries":$qs,"sf":"$sfDir","total_sec":$total%.2f,"edges":${r.edges},"pagerank_iters":${r.prIters},"pagerank_conv_sec":${r.prSec}%.2f,"walk_steps_per_sec":$stepsPerSec%.0f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

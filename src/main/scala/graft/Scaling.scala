@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.algo.{Components, PageRank}
+import graft.derive.Derive
+import graft.engine.Iterate
+import graft.synth.Synth
+import graft.walk.Walk
+
+/** North-rule scaling protocol (no real cluster in this sandbox): run the
+  * identical workload at two parallelism levels — local[N] and local[4N] —
+  * on the same input and report throughput at both plus
+  * `efficiency = (T_N / T_4N) / 4` into BENCH/BASELINE.md.
+  *
+  * Input: the deterministic synthetic transcript corpus (seed 42), sized
+  * so compute dominates fixed per-job overhead — the driver testdata sfs
+  * are too small for a meaningful core-scaling measurement.
+  *
+  * Usage: runMain graft.Scaling [nConvs] [N] [outFile]
+  */
+object Scaling {
+
+  final case class Phase(name: String, sec: Double, work: Long, workUnit: String)
+
+  def workload(spark: SparkSession, nConvs: Long): Seq[Phase] = {
+    import Bench.time
+    val buf = scala.collection.mutable.ArrayBuffer[Phase]()
+
+    val (edges, tDerive) = time {
+      val turns = Synth.transcripts(spark, nConvs)
+      val withVid = Derive.withDenseVid(turns)
+      val e = Derive.edges(withVid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    val m = edges.count()
+    buf += Phase("derive_edges", tDerive, m, "edges")
+
+    // fixed iteration counts: identical work at both parallelism levels
+    val (_, tPr) = time { PageRank.run(edges, fixedIter = Some(15)).count() }
+    buf += Phase("pagerank_15it", tPr, m * 15, "edge-visits")
+
+    val (_, tCc) = time { Components.run(edges, maxIter = 25).count() }
+    buf += Phase("cc_25it", tCc, m * Iterate.lastIterations, "edge-visits")
+
+    val nWalkers = math.max(10000L, nConvs)
+    val walkLen = 10
+    val (steps, tWalk) = time {
+      Walk.firstOrder(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
+        .count() - nWalkers
+    }
+    buf += Phase("deepwalk", tWalk, steps, "steps")
+
+    edges.unpersist()
+    buf.toSeq
+  }
+
+  /** Child mode: run one parallelism level in THIS JVM and dump phases as
+    * TSV. Each level runs in a fresh JVM so the 4N measurement doesn't
+    * inherit the N run's JIT warmup / populated caches (measured: shared-
+    * JVM runs skew efficiency upward). */
+  private def childMain(nConvs: Long, cpus: Int, out: String): Unit = {
+    val spark = Bench.session(cpus.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    val phases = try workload(spark, nConvs) finally spark.stop()
+    val tsv = phases.map(p => s"${p.name}\t${p.sec}\t${p.work}\t${p.workUnit}").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), tsv)
+  }
+
+  private def spawn(nConvs: Long, cpus: Int, out: String): Seq[Phase] = {
+    val jcmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .toArray.map(_.toString).filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-D")) ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.Scaling", "--child", nConvs.toString, cpus.toString, out)
+    System.err.println(s"[graft:scaling] spawning level cpus=$cpus")
+    val p = new ProcessBuilder(jcmd: _*).inheritIO().start()
+    require(p.waitFor() == 0, s"child failed at cpus=$cpus")
+    scala.io.Source.fromFile(out).getLines().map { l =>
+      val Array(name, sec, work, unit) = l.split("\t")
+      Phase(name, sec.toDouble, work.toLong, unit)
+    }.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--child")) {
+      childMain(args(1).toLong, args(2).toInt, args(3))
+      return
+    }
+    val nConvs = if (args.length > 0) args(0).toLong else 150000L
+    val n = if (args.length > 1) args(1).toInt else 8
+    val out = if (args.length > 2) args(2) else "BENCH/BASELINE.md"
+
+    val rN = spawn(nConvs, n, s"/tmp/graft-scaling-$n.tsv")
+    val r4N = spawn(nConvs, 4 * n, s"/tmp/graft-scaling-${4 * n}.tsv")
+
+    val tN = rN.map(_.sec).sum
+    val t4N = r4N.map(_.sec).sum
+    val eff = (tN / t4N) / 4.0
+
+    val rows = rN.zip(r4N).map { case (a, b) =>
+      f"| ${a.name} | ${a.sec}%.1f | ${b.sec}%.1f | ${(a.sec / b.sec) / 4.0}%.3f | ${a.work / a.sec}%.0f → ${b.work / b.sec}%.0f ${a.workUnit}/s |"
+    }.mkString("\n")
+
+    val md =
+      f"""# BENCH — measured throughput and N→4N scaling (this sandbox)
+         |
+         |Protocol (BASELINE.md / BASELINE.json): identical workload at two
+         |parallelism levels on the same deterministic input (synthetic
+         |transcript corpus, seed 42, $nConvs conversations), single JVM:
+         |`local[$n]` (N) vs `local[${4 * n}]` (4N);
+         |`efficiency = (T_N / T_4N) / 4`. Caveat: a single-host
+         |core-scaling proxy for executor scaling — shuffles are
+         |in-memory, so this measures CPU scalability of the plans, not
+         |network behaviour.
+         |
+         |**Total: ${tN}%.1f s @ local[$n] → ${t4N}%.1f s @ local[${4 * n}] — scaling efficiency ${eff}%.3f** (target ≥ 0.8)
+         |
+         || phase | local[$n] s | local[${4 * n}] s | efficiency | throughput N → 4N |
+         || --- | --- | --- | --- | --- |
+         |$rows
+         |""".stripMargin
+
+    val p = java.nio.file.Paths.get(out)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, md)
+    println(md)
+  }
+}

@@ -103,6 +103,19 @@ object SparkEntry {
         .orderBy("walkerId")
     }),
 
+    "q_metapath" -> ((s, dir) => {
+      // heterogeneous walk: edge type = role-transition class of the edge
+      // (derived deterministically); scheme alternates types 0,1 / only 2
+      val edges = eventEdges(s, dir)
+        .withColumn("etype", pmod(xxhash64(col("src"), col("dst")), lit(3)).cast("int"))
+      val schemes = Seq(
+        Seq(Seq(true, false, false), Seq(false, true, false)),
+        Seq(Seq(false, false, true)))
+      val starts = Walk.equalStarts(edges, 2000)
+      Walk.paths(Walk.metapath(edges, starts, schemes, maxSteps = 5, seed = 42))
+        .orderBy("walkerId")
+    }),
+
     // ------------- training-data pipeline ops (documents / embeddings) --
 
     "q_doc_tokens" -> ((s, dir) =>

@@ -32,8 +32,11 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
-    val state0 = GraphOps.vertices(edges).select(col("v"), col("v").as("comp"))
+    val state0 = GraphOps.vertices(edges)
+      .select(col("v"), col("v").as("comp"), lit(true).as("changed"))
 
+    // `changed` is carried as a state column so convergence is a cheap
+    // filter over the just-written checkpoint — one Spark job/iteration
     def step(state: DataFrame, iter: Int): DataFrame = {
       val nbrMin = und
         .join(state.select(col("v").as("src"), col("comp").as("srcComp")), Seq("src"))
@@ -43,20 +46,18 @@ object Components {
         .join(state.select(col("v").as("comp"), col("comp").as("jumpComp")), Seq("comp"), "left")
       jumped
         .join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("comp").as("prevComp"),
           least(col("comp"),
             coalesce(col("nbrMin"), col("comp")),
             coalesce(col("jumpComp"), col("comp"))).as("comp"))
+        .select(col("v"), col("comp"), (col("comp") =!= col("prevComp")).as("changed"))
     }
 
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
-      prev.select(col("v"), col("comp").as("c0"))
-        .join(next, "v")
-        .filter(col("c0") =!= col("comp"))
-        .isEmpty
+      next.filter(col("changed")).isEmpty
 
     val out = Iterate.run(runName, state0, step, converged, maxIter, None, store)
     und.unpersist()
-    out
+    out.select(col("v"), col("comp"))
   }
 }

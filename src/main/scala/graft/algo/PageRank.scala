@@ -15,11 +15,16 @@ import graft.engine.Iterate
   *   D = Σ_{u dangling} r(u).
   * Converges to max|Δ| < tol (default 1e-6, the north-rule tolerance).
   *
-  * Scale notes: the normalized edge table is computed once, repartitioned
-  * by `src` and persisted — each iteration then shuffles only the (small)
-  * rank vector to the edge partitioning, aggregates contributions by
-  * `dst` (map-side partial agg), and never re-shuffles the edges. Rank
-  * state is truncated (localCheckpoint / durable Parquet) every iteration.
+  * Scale/efficiency notes:
+  *  - the normalized edge table is computed once, repartitioned by `src`
+  *    and persisted — iterations shuffle only the (small) rank vector to
+  *    the edge partitioning and never re-shuffle edges;
+  *  - ONE Spark job per iteration: the dangling-mass scalar is a
+  *    broadcast 1-row cross join *inside* the step plan, and the
+  *    convergence delta is carried as a state column, so the check is a
+  *    cheap aggregate over the just-written checkpoint, not a recompute;
+  *  - contributions aggregate map-side (partial hash agg) before the
+  *    by-dst shuffle.
   */
 object PageRank {
 
@@ -48,8 +53,8 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     trans.count()
 
-    // vertices flagged dangling (no out-edges) so the per-iteration
-    // dangling-mass aggregate is a filter+sum, not an anti-join
+    // vertices flagged dangling (no out-edges) so the dangling-mass term
+    // is a filter+sum, not an anti-join
     val vflag = verts
       .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
       .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
@@ -57,32 +62,33 @@ object PageRank {
     vflag.count()
     verts.unpersist()
 
-    val r0 = vflag.select(col("v"), col("hasOut"), lit(1.0 / n).as("rank"))
+    val r0 = vflag.select(col("v"), col("hasOut"),
+      lit(1.0 / n).as("rank"), lit(1.0).as("delta"))
 
     def step(ranks: DataFrame, iter: Int): DataFrame = {
       val dangling = ranks.filter(!col("hasOut"))
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val contrib = trans
         .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("p") * col("rank")).as("c"))
       vflag
         .join(contrib, Seq("v"), "left")
-        .select(
-          col("v"), col("hasOut"),
+        .join(ranks.select(col("v"), col("rank").as("prevRank")), Seq("v"))
+        .crossJoin(broadcast(dangling))
+        .select(col("v"), col("hasOut"),
           (lit((1.0 - alpha) / n) +
-            lit(alpha) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            lit(alpha) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"),
+          col("prevRank"))
+        .withColumn("delta", abs(col("rank") - col("prevRank")))
+        .drop("prevRank")
     }
 
-    def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean = {
-      val delta = prev.select(col("v"), col("rank").as("r0"))
-        .join(next.select(col("v"), col("rank").as("r1")), "v")
-        .agg(max(abs(col("r1") - col("r0")))).head().getDouble(0)
-      delta < tol
-    }
+    // next is the checkpoint read-back: the max-delta scan is cheap
+    def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
+      next.agg(max("delta")).head().getDouble(0) < tol
 
-    val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
+    Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
       .select(col("v"), col("rank"))
-    out
   }
 }

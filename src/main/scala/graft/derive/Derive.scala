@@ -65,12 +65,26 @@ object Derive {
   def edges(turnsWithVid: DataFrame): DataFrame = {
     val t = turnsWithVid.select("conv_id", "turn_idx", "role", "tool", "vid")
 
-    val succ = succession(t)
-
-    val succEdges = succ.select(col("src"), col("dst"), lit(1L).as("w"))
-    val replyEdges = succ
-      .filter(col("prev_role") =!= col("cur_role"))
-      .select(col("src"), col("dst"), lit(2L).as("w"))
+    // ONE window pass produces succession + reply + skip (the naive
+    // one-branch-per-family plan re-scans and re-shuffles the turns table
+    // once per family — 2x the scan/shuffle volume at 100 TB)
+    val wConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val lagged = t.select(
+      col("vid"),
+      lag(col("vid"), 1).over(wConv).as("v1"),
+      lag(col("role"), 1).over(wConv).as("r1"),
+      col("role"),
+      lag(col("vid"), 2).over(wConv).as("v2"))
+    val convEdges = lagged
+      .select(explode(array(
+        when(col("v1").isNotNull,
+          struct(col("v1").as("src"), col("vid").as("dst"), lit(1L).as("w"))),
+        when(col("v1").isNotNull && col("r1") =!= col("role"),
+          struct(col("v1").as("src"), col("vid").as("dst"), lit(2L).as("w"))),
+        when(col("v2").isNotNull,
+          struct(col("v2").as("src"), col("vid").as("dst"), lit(1L).as("w"))))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+      .filter(col("src").isNotNull)
 
     val wToolRn = Window.partitionBy(col("tool")).orderBy(col("conv_id"), col("turn_idx"))
     val toolUses = t
@@ -83,9 +97,7 @@ object Derive {
       .filter(col("src").isNotNull)
       .select(col("src"), col("dst"), lit(1L).as("w"))
 
-    val skipEdges = skipPairs(t).select(col("src"), col("dst"), lit(1L).as("w"))
-
-    succEdges.unionAll(replyEdges).unionAll(toolEdges).unionAll(skipEdges)
+    convEdges.unionAll(toolEdges)
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst")
       .agg(sum("w").cast("double").as("weight"))

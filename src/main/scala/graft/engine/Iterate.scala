@@ -82,6 +82,10 @@ object Iterate {
         .agg((max("rows") / avg("rows")).as("skewMaxOverAvg"))
   }
 
+  /** Iteration count of the most recent [[run]] on this driver (bench
+    * metric plumbing; driver-side single-threaded use only). */
+  @volatile var lastIterations: Int = 0
+
   /** Run `step` until `converged` or `maxIter`, truncating lineage every
     * iteration. With a [[CheckpointStore]], each iteration is durable and
     * the run resumes from the last complete iteration; without one,
@@ -132,6 +136,7 @@ object Iterate {
       // reference X4 per-step progress log (include/walk.hpp:928-933)
       System.err.println(f"[graft:$name] iter=$iter wall=${(System.nanoTime() - t0) / 1e9}%.2fs done=$done")
     }
+    lastIterations = iter
     state
   }
 }

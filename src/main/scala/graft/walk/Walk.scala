@@ -127,8 +127,7 @@ object Walk {
     val fpDir = s"$workDir/footprints"
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
-    frontier.write.mode("overwrite").parquet(s"$workDir/frontier")
-    frontier = spark.read.parquet(s"$workDir/frontier")
+      .localCheckpoint(true)
     frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
       .write.mode("append").parquet(fpDir)
 
@@ -145,17 +144,11 @@ object Walk {
           (col("step") + 1).as("step"),
           aliasSample(col("nbrs"), col("prob"), col("alias"),
             rand(seed, "a1"), rand(seed, "a2")).as("curV"))
-      advanced.write.mode("overwrite").parquet(s"$workDir/frontier_next")
-      frontier = spark.read.parquet(s"$workDir/frontier_next")
+      // localCheckpoint is safe here: the frontier plan never self-joins,
+      // so carried-over stats grow linearly, not exponentially (cf. Iterate)
+      frontier = advanced.localCheckpoint(true)
       frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
         .write.mode("append").parquet(fpDir)
-      // swap files so the next overwrite doesn't clobber the live frontier
-      val fs = new org.apache.hadoop.fs.Path(workDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/frontier"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$workDir/frontier_next"),
-        new org.apache.hadoop.fs.Path(s"$workDir/frontier"))
-      frontier = spark.read.parquet(s"$workDir/frontier")
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:walk] step=$step active=$active")
@@ -183,9 +176,8 @@ object Walk {
     val fpDir = s"$workDir/footprints"
 
     var frontier = starts.select(
-      col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
-    frontier.write.mode("overwrite").parquet(s"$workDir/frontier")
-    frontier = spark.read.parquet(s"$workDir/frontier")
+        col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
+      .localCheckpoint(true)
     frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
       .write.mode("append").parquet(fpDir)
 
@@ -205,19 +197,94 @@ object Walk {
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
               lit(p), lit(q), rand(seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
-      advanced.write.mode("overwrite").parquet(s"$workDir/frontier_next")
-      val fs = new org.apache.hadoop.fs.Path(workDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/frontier"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$workDir/frontier_next"),
-        new org.apache.hadoop.fs.Path(s"$workDir/frontier"))
-      frontier = spark.read.parquet(s"$workDir/frontier")
+      frontier = advanced.localCheckpoint(true)
       frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
         .write.mode("append").parquet(fpDir)
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:n2v] step=$step active=$active")
     }
+    spark.read.parquet(fpDir)
+  }
+
+  /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:
+    * 70-128 + metascheme.hpp): edges carry an `etype` column; walker w
+    * follows scheme (w mod schemes.size), and at step s may only take
+    * edges whose type is allowed by schemes(scheme)(s mod len); a vertex
+    * with no allowed out-edge terminates the walker (reference Pe vertex
+    * masks, metapath.hpp:102-105). Choice among allowed edges ∝ weight. */
+  def metapath(
+      edges: DataFrame,               // (src, dst, weight, etype)
+      starts: DataFrame,              // (walkerId, curV)
+      schemes: Seq[Seq[Seq[Boolean]]],
+      maxSteps: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = edges.sparkSession
+    val adj = edges
+      .groupBy(col("src").as("v"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("weight"), col("etype")))).as("adjl"))
+      .select(col("v"),
+        col("adjl.dst").as("nbrs"), col("adjl.weight").as("wts"), col("adjl.etype").as("etypes"))
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
+    val sample = udf {
+      (nbrs: Seq[Long], wts: Seq[Double], etypes: Seq[Int],
+       schemeId: Int, step: Int, r: Double) =>
+        val scheme = schemesB(schemeId)
+        val mask = scheme(step % scheme.length)
+        var total = 0.0
+        var i = 0
+        val n = nbrs.size
+        val cum = new Array[Double](n)
+        while (i < n) {
+          val et = etypes(i)
+          if (et < mask.length && mask(et)) total += wts(i)
+          cum(i) = total
+          i += 1
+        }
+        if (total <= 0.0) None
+        else {
+          val dart = r * total
+          var j = 0
+          while (j < n - 1 && cum(j) <= dart) j += 1
+          // cum is non-strictly increasing with plateaus at disallowed
+          // edges; land on the first index whose cumulative exceeds dart
+          // among allowed ones
+          while (j < n - 1 && (etypes(j) >= mask.length || !mask(etypes(j)))) j += 1
+          if (etypes(j) < mask.length && mask(etypes(j))) Some(nbrs(j)) else None
+        }
+    }
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft-meta-").toString
+    val fpDir = s"$workDir/footprints"
+    val nSchemes = schemes.size
+
+    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
+      .localCheckpoint(true)
+    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+      .write.mode("append").parquet(fpDir)
+
+    var step = 0
+    var active = frontier.count()
+    while (active > 0 && step < maxSteps) {
+      val advanced = frontier
+        .join(adj, frontier("curV") === adj("v"))
+        .select(col("walkerId"), (col("step") + 1).as("step"),
+          sample(col("nbrs"), col("wts"), col("etypes"),
+            col("schemeId"), col("step"), rand(seed, "mp")).as("curV"),
+          col("schemeId"))
+        .filter(col("curV").isNotNull)
+      frontier = advanced.localCheckpoint(true)
+      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        .write.mode("append").parquet(fpDir)
+      step += 1
+      active = frontier.count()
+      System.err.println(s"[graft:meta] step=$step active=$active")
+    }
+    adj.unpersist()
     spark.read.parquet(fpDir)
   }
 
