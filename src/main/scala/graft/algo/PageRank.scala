@@ -88,7 +88,10 @@ object PageRank {
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
       next.agg(max("delta")).head().getDouble(0) < tol
 
-    Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
+    val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
       .select(col("v"), col("rank"))
+    trans.unpersist(false)
+    vflag.unpersist(false)
+    out
   }
 }

@@ -142,7 +142,8 @@ object Derive {
     val out = keyed.mapPartitions { it =>
       val base = bc.value(org.apache.spark.TaskContext.getPartitionId().toLong)
       it.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i)) }
-    }(rowEnc)
+    }(rowEnc).localCheckpoint(true)
+    keyed.unpersist(false)
     out
   }
 }

@@ -107,17 +107,31 @@ object Iterate {
     // localCheckpoint's LogicalRDD carries the *estimated* stats of the
     // plan it replaced, so a self-joining step (CC pointer jump) squares
     // sizeInBytes every iteration until Catalyst drowns in BigInteger
-    // arithmetic (measured: minutes per iteration by iter ~25). A Parquet
-    // write + read-back resets stats to the real file size each iteration
-    // — and is the durable-checkpoint path anyway.
-    lazy val tmpStore = {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-iter-").toAbsolutePath.toString
-      new CheckpointStore(dir, state0.sparkSession)
-    }
+    // arithmetic (measured: minutes per iteration by iter ~25).
+    //
+    // Durable mode: Parquet write + read-back (stats = real file size).
+    // Non-durable mode: persist() + count() — Catalyst's cache manager
+    // substitutes the subtree with an InMemoryRelation whose stats are
+    // the real materialized bytes, so both stats and effective plan depth
+    // reset with NO disk in the loop (per-iteration parquet commits on
+    // the VM disk showed 10-30s latency spikes). The previous iteration's
+    // cache is dropped once the next is materialized.
+    // Sequence matters: persist+count first so the optimized plan's stats
+    // are the real materialized bytes (InMemoryRelation), THEN
+    // localCheckpoint — the resulting LogicalRDD leaf inherits those real
+    // stats as originStats (bounded) AND cuts the logical tree (persist
+    // alone leaves the exponentially-growing raw tree in place, which
+    // OOMs treeString rendering by iteration ~5). The SQL cache is
+    // dropped immediately; the checkpoint holds its own RDD storage,
+    // released by the ContextCleaner when the previous state is dropped.
     def truncate(df: DataFrame, iter: Int): DataFrame = store match {
       case Some(s) => s.save(name, iter, df)
-      case None => tmpStore.saveNoLineage(name, iter, df)
+      case None =>
+        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        val cut = c.localCheckpoint(true)
+        c.unpersist(false)
+        cut
     }
 
     var (iter0, state) = store.flatMap(_.latest(name)) match {

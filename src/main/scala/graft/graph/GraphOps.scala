@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{AdjRow, EdgeRow, VertexDeg}
+import org.apache.spark.storage.StorageLevel
 
 /** Graph-substrate operators over the (src, dst, weight) edge table:
   * degrees, vertex extraction, undirected view, and the Spark-native CSR
@@ -105,4 +106,71 @@ object GraphOps {
     * two-level aggregation that bounds any single reducer's load. */
   def saltCol(key: org.apache.spark.sql.Column, salts: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(key, spark_partition_id()), lit(salts))
+
+  /** Degrees via salted two-level aggregation — exact same result as
+    * [[degrees]], but a heavy-hitter vertex's rows are first combined
+    * under `salts` sub-keys so no single reducer sees the whole hot key
+    * (north rule: heavy-hitter salting; the reference's degree-aware
+    * partitioning include/graph.hpp:461-503 addresses the same skew). */
+  def saltedDegrees(edges: DataFrame, salts: Int = 16): Dataset[VertexDeg] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def oneSide(keyed: DataFrame): DataFrame =
+      keyed
+        .groupBy(col("v"), saltCol(col("v"), salts).as("salt"))
+        .agg(count(lit(1)).as("d"), sum("weight").as("w"))
+        .groupBy("v")
+        .agg(sum("d").as("d"), sum("w").as("w"))
+    val out = oneSide(edges.select(col("src").as("v"), col("weight")))
+      .select(col("v"), col("d").as("outDeg"), col("w").as("outW"))
+    val in = oneSide(edges.select(col("dst").as("v"), col("weight")))
+      .select(col("v"), col("d").as("inDeg"), col("w").as("inW"))
+    out.join(in, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("outDeg"), lit(0L)).as("outDeg"),
+        coalesce(col("inDeg"), lit(0L)).as("inDeg"),
+        coalesce(col("outW"), lit(0.0)).as("outW"),
+        coalesce(col("inW"), lit(0.0)).as("inW"))
+      .as[VertexDeg]
+  }
+
+  /** Degree-weighted contiguous range partitioning (reference P3,
+    * include/graph.hpp:461-503): assign each vertex a partition id such
+    * that contiguous vid ranges carry ≈ equal Σ(overhead + out-degree).
+    * Scalable cumulative sum: range-repartition by vid, per-partition
+    * degree sums, broadcast offsets, then bucket by cumulative position.
+    * @return (v, part) with parts 0..nParts-1 in vid order */
+  def degreeWeightedPartition(
+      edges: DataFrame, nParts: Int, vertexOverhead: Double = 5.0): DataFrame = {
+    val spark = edges.sparkSession
+    val deg = degrees(edges).toDF()
+      .select(col("v"), (col("outDeg") + vertexOverhead).as("load"))
+      .repartitionByRange(math.max(spark.sparkContext.defaultParallelism, 1), col("v"))
+      .sortWithinPartitions(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.{Encoders, Row}
+    val partSums = deg
+      .mapPartitions { it =>
+        var s = 0.0; var n = 0L
+        it.foreach { r => s += r.getDouble(1); n += 1 }
+        Iterator.single(Row(org.apache.spark.TaskContext.getPartitionId().toLong, s))
+      }(Encoders.row(new org.apache.spark.sql.types.StructType()
+        .add("pid", "long").add("s", "double")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val total = partSums.map(_._2).sum
+    val offsets = partSums.map(_._2).scanLeft(0.0)(_ + _)
+    val offsetByPid = partSums.map(_._1).zip(offsets).toMap
+    val bc = spark.sparkContext.broadcast((offsetByPid, total / nParts))
+    val rowEnc = Encoders.row(new org.apache.spark.sql.types.StructType()
+      .add("v", "long").add("part", "int"))
+    deg.mapPartitions { it =>
+      val (offs, chunk) = bc.value
+      var cum = offs(org.apache.spark.TaskContext.getPartitionId().toLong)
+      it.map { r =>
+        val mid = cum + r.getDouble(1) / 2
+        cum += r.getDouble(1)
+        Row(r.getLong(0), math.min((mid / chunk).toInt, nParts - 1))
+      }
+    }(rowEnc)
+  }
 }

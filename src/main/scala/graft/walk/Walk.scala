@@ -153,6 +153,7 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:walk] step=$step active=$active")
     }
+    adj.unpersist(false)
     spark.read.parquet(fpDir)
   }
 
@@ -204,6 +205,7 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:n2v] step=$step active=$active")
     }
+    adj.unpersist(false)
     spark.read.parquet(fpDir)
   }
 
@@ -286,6 +288,41 @@ object Walk {
     }
     adj.unpersist()
     spark.read.parquet(fpDir)
+  }
+
+  /** Epoched walk (reference "walk rate", include/walk.hpp:140-144,
+    * 703-844): split the walkers into `epochs` contiguous ranges and run
+    * each range's walk to completion before the next starts — bounds the
+    * in-flight frontier + footprint memory. Same semantics/randomness as
+    * one big run (the RNG keys on absolute walkerId). */
+  def firstOrderEpoched(
+      edges: DataFrame,
+      startsFor: (Long, Long) => DataFrame,  // (walkerBegin, walkerEnd) => (walkerId, curV)
+      numWalkers: Long,
+      epochs: Int,
+      maxSteps: Int,
+      keepProb: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val per = math.max(1L, (numWalkers + epochs - 1) / epochs)
+    (0L until numWalkers by per).map { begin =>
+      val end = math.min(begin + per, numWalkers)
+      firstOrder(edges, startsFor(begin, end), maxSteps, keepProb, seed)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Custom start distribution from an explicit start-vertex table
+    * (reference W4, src/apps/ppr.hpp:41-51: walker i starts at
+    * startVertices(i mod size) — personalized PageRank source sets). */
+  def personalizedStarts(startVertices: DataFrame, numWalkers: Long): DataFrame = {
+    val spark = startVertices.sparkSession
+    val indexed = graft.derive.Derive.withDenseVid(
+      startVertices.select(col("v").as("conv_id")).distinct().withColumn("turn_idx", lit(0)))
+      .select(col("conv_id").as("v"), col("vid").as("idx"))
+    val nS = indexed.count()
+    spark.range(numWalkers)
+      .select(col("id").as("walkerId"), pmod(col("id"), lit(nS)).as("idx"))
+      .join(indexed, "idx")
+      .select(col("walkerId"), col("v").as("curV"))
   }
 
   /** Assemble per-walker ordered paths from footprints (reference
