@@ -63,6 +63,12 @@ object Bench {
     }
     secs += "deepwalk" -> tWalk
 
+    val (_, tChain) = time {
+      Walk.firstOrderChained(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
+        .count()
+    }
+    secs += "deepwalk_chained" -> tChain
+
     val (_, tN2v) = time {
       Walk.node2vec(edges, Walk.equalStarts(edges, 5000L), maxSteps = 6,
         p = 2.0, q = 0.5).count()

@@ -47,11 +47,18 @@ object Scaling {
 
     val nWalkers = math.max(10000L, nConvs)
     val walkLen = 10
+    val starts = Walk.equalStarts(edges, nWalkers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    starts.count()
     val (steps, tWalk) = time {
-      Walk.firstOrder(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
-        .count() - nWalkers
+      Walk.firstOrder(edges, starts, maxSteps = walkLen).count() - nWalkers
     }
     buf += Phase("deepwalk", tWalk, steps, "steps")
+    val (stepsC, tChain) = time {
+      Walk.firstOrderChained(edges, starts, maxSteps = walkLen).count() - nWalkers
+    }
+    buf += Phase("deepwalk_chained", tChain, stepsC, "steps")
+    starts.unpersist(false)
 
     edges.unpersist()
     buf.toSeq

@@ -157,6 +157,116 @@ object Walk {
     spark.read.parquet(fpDir)
   }
 
+  /** splitmix64 → U[0,1), keyed on (seed, walker, step) — the JVM-side
+    * twin of [[rand]] for the chained fast path (deterministic, partition-
+    * independent; not bit-identical to the column xxhash64 variant). */
+  private[walk] def jvmRand(seed: Long, walkerId: Long, step: Long, salt: Long): Double = {
+    var z = seed ^ (walkerId * 0x9E3779B97F4A7C15L) ^ (step * 0xC2B2AE3D27D4EB4FL) ^
+      (salt * 0x165667B19E3779F9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / 9007199254740992.0
+  }
+
+  /** First-order walk with LOCAL CHAINING — the reference's key
+    * throughput lever (include/walk.hpp:1056-1063; SURVEY.md §4.2): the
+    * adjacency is split into contiguous vertex-id ranges; a cogroup
+    * brings each range's walkers and CSR rows into one task, where each
+    * walker advances *many* steps in-memory until it leaves the range,
+    * dies, or hits maxSteps. Only range-crossers re-shuffle. On
+    * transcript graphs (conversation chains = consecutive vids) most of a
+    * walk completes inside one range, collapsing ~maxSteps shuffles into
+    * ~1-2.
+    *
+    * Same termination semantics as [[firstOrder]]; randomness is
+    * deterministic splitmix64 on (seed, walker, step) — distributionally
+    * identical but not bit-identical to the join-based variant.
+    *
+    * @param buckets number of vertex ranges; size so one range's CSR fits
+    *                a task's memory (at 100 TB: thousands of buckets)
+    */
+  def firstOrderChained(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      keepProb: Double = 1.0,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets else math.max(spark.sparkContext.defaultParallelism * 2, 4)
+
+    val maxV = edges.agg(greatest(max("src"), max("dst"))).head().getLong(0)
+    val rangeSize = math.max(1L, maxV / nBuckets + 1)
+
+    val adjB = GraphOps.adjacency(edges)
+      .map(a => (a.v / rangeSize, a))
+      .toDF("bucket", "adj").as[(Long, graft.model.AdjRow)]
+      .groupByKey(_._1)
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft-chain-").toString
+    val fpDir = s"$workDir/footprints"
+
+    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
+      .as[(Long, Int, Long)].localCheckpoint(true)
+    frontier.toDF("walkerId", "step", "curV")
+      .select(col("walkerId"), col("step"), col("curV").as("vertex"))
+      .write.mode("append").parquet(fpDir)
+
+    var outer = 0
+    var active = frontier.count()
+    while (active > 0 && outer <= maxSteps) {
+      val grouped = frontier.groupByKey(_._3 / rangeSize)
+      // output rows: (walkerId, step, vertex, moved) — moved=false rows
+      // are footprints of chained steps; moved=true rows are walkers
+      // parked at a vertex OUTSIDE this bucket (next frontier)
+      val out = grouped.cogroup(adjB) { (bucket, ws, adjIt) =>
+        val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
+        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+        ws.flatMap { case (walkerId, step0, v0) =>
+          val outRows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Boolean)]()
+          var step = step0
+          var cur = v0
+          var done = false
+          while (!done && step < maxSteps && cur / rangeSize == bucket) {
+            csr.get(cur) match {
+              case None => done = true // dangling: terminate
+              case Some(a) =>
+                if (keepProb < 1.0 && jvmRand(seed, walkerId, step, 1) >= keepProb) {
+                  done = true
+                } else {
+                  val n = a.nbrs.length
+                  val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
+                  val nxt = if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
+                    else a.nbrs(a.alias(i))
+                  step += 1
+                  cur = nxt
+                  outRows += ((walkerId, step, cur, false)) // footprint
+                }
+            }
+          }
+          if (!done && step < maxSteps && cur / rangeSize != bucket)
+            outRows += ((walkerId, step, cur, true)) // crossed: re-shuffle
+          outRows
+        }
+      }.toDF("walkerId", "step", "vertex", "moved")
+        .localCheckpoint(true)
+
+      out.filter(!col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex"))
+        .write.mode("append").parquet(fpDir)
+      frontier = out.filter(col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex").as("curV"))
+        .as[(Long, Int, Long)].localCheckpoint(true)
+      outer += 1
+      active = frontier.count()
+      System.err.println(s"[graft:chain] outer=$outer active=$active")
+    }
+    spark.read.parquet(fpDir)
+  }
+
   /** Second-order node2vec walk (exact distribution via joins; SURVEY.md
     * §2.10). First step is first-order; later steps bias by 1/p (return),
     * 1 (common neighbour), 1/q (explore). */
