@@ -39,11 +39,11 @@ object Scaling {
     buf += Phase("derive_edges", tDerive, m, "edges")
 
     // fixed iteration counts: identical work at both parallelism levels
-    val (_, tPr) = time { PageRank.run(edges, fixedIter = Some(15)).count() }
-    buf += Phase("pagerank_15it", tPr, m * 15, "edge-visits")
+    val (_, tPr) = time { PageRank.run(edges, fixedIter = Some(10)).count() }
+    buf += Phase("pagerank_10it", tPr, m * 10, "edge-visits")
 
-    val (_, tCc) = time { Components.run(edges, maxIter = 25).count() }
-    buf += Phase("cc_25it", tCc, m * Iterate.lastIterations, "edge-visits")
+    val (_, tCc) = time { Components.run(edges, maxIter = 15).count() }
+    buf += Phase("cc_15it", tCc, m * Iterate.lastIterations, "edge-visits")
 
     val nWalkers = math.max(10000L, nConvs)
     val walkLen = 10
@@ -59,8 +59,24 @@ object Scaling {
     }
     buf += Phase("deepwalk_chained", tChain, stepsC, "steps")
     starts.unpersist(false)
-
     edges.unpersist()
+
+    // compute-dense phase (FLOP-bound, not memory-bandwidth-bound):
+    // brute-force cosine over deterministic synthetic embeddings
+    val nVecs = 8000
+    val dim = 64
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val emb = spark2.range(nVecs).select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          Synth.hashRand(lit(77L), col("id"), lit(d)).cast("float")): _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    val (nPairs, tAnn) = time {
+      graft.ann.Ann.bruteForceNearDupPairs(emb, threshold = -2.0).count()
+    }
+    buf += Phase("ann_cosine_all_pairs", tAnn, nPairs, "pairs")
+    emb.unpersist(false)
     buf.toSeq
   }
 
@@ -80,7 +96,7 @@ object Scaling {
     val jcmd = Seq(
       s"${System.getProperty("java.home")}/bin/java") ++
       java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
-        .toArray.map(_.toString).filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-D")) ++
+        .toArray.map(_.toString).filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-XX") || a.startsWith("-D")) ++
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.Scaling", "--child", nConvs.toString, cpus.toString, out)
     System.err.println(s"[graft:scaling] spawning level cpus=$cpus")

@@ -124,14 +124,14 @@ object Iterate {
     // OOMs treeString rendering by iteration ~5). The SQL cache is
     // dropped immediately; the checkpoint holds its own RDD storage,
     // released by the ContextCleaner when the previous state is dropped.
+    lazy val tmpStore = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-iter-").toAbsolutePath.toString
+      new CheckpointStore(dir, state0.sparkSession)
+    }
     def truncate(df: DataFrame, iter: Int): DataFrame = store match {
       case Some(s) => s.save(name, iter, df)
-      case None =>
-        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        val cut = c.localCheckpoint(true)
-        c.unpersist(false)
-        cut
+      case None => tmpStore.saveNoLineage(name, iter, df)
     }
 
     var (iter0, state) = store.flatMap(_.latest(name)) match {

@@ -142,7 +142,7 @@ object Walk {
         .select(
           col("walkerId"),
           (col("step") + 1).as("step"),
-          aliasSample(col("nbrs"), col("prob"), col("alias"),
+          graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
             rand(seed, "a1"), rand(seed, "a2")).as("curV"))
       // localCheckpoint is safe here: the frontier plan never self-joins,
       // so carried-over stats grow linearly, not exponentially (cf. Iterate)
@@ -302,7 +302,7 @@ object Walk {
         col("walkerId"),
         (col("step") + 1).as("step"),
         when(col("prevV").isNull,
-          aliasSample(col("nbrs"), col("prob"), col("alias"),
+          graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
             rand(seed, "a1"), rand(seed, "a2")))
           .otherwise(
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
