@@ -92,7 +92,7 @@ object SparkEntry {
       val edges = eventEdges(s, dir)
       val starts = Walk.uniformStarts(edges, 2000, seed = 42)
       Walk.visitCounts(
-          Walk.firstOrder(edges, starts, maxSteps = 40, keepProb = 0.85, seed = 42))
+          Walk.firstOrderChained(edges, starts, maxSteps = 40, keepProb = 0.85, seed = 42))
         .orderBy("v")
     }),
 
