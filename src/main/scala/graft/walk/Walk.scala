@@ -123,13 +123,12 @@ object Walk {
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val workDir = java.nio.file.Files.createTempDirectory("graft-walk-").toString
-    val fpDir = s"$workDir/footprints"
+    def asFp(f: DataFrame) =
+      f.select(col("walkerId"), col("step"), col("curV").as("vertex"))
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
       .localCheckpoint(true)
-    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-      .write.mode("append").parquet(fpDir)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
 
     var step = 0
     var active = frontier.count()
@@ -147,14 +146,23 @@ object Walk {
       // localCheckpoint is safe here: the frontier plan never self-joins,
       // so carried-over stats grow linearly, not exponentially (cf. Iterate)
       frontier = advanced.localCheckpoint(true)
-      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-        .write.mode("append").parquet(fpDir)
+      history += frontier
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:walk] step=$step active=$active")
     }
     adj.unpersist(false)
-    spark.read.parquet(fpDir)
+    // footprints = union of the already-materialized per-step frontiers —
+    // no disk in the loop; pass the result through [[sinkFootprints]] for
+    // a durable copy at cluster scale
+    history.map(asFp).reduce(_ unionAll _)
+  }
+
+  /** Durable footprint sink (the at-scale path: one Parquet write of the
+    * whole footprint table after the walk). */
+  def sinkFootprints(footprints: DataFrame, path: String): DataFrame = {
+    footprints.write.mode("overwrite").parquet(path)
+    footprints.sparkSession.read.parquet(path)
   }
 
   /** splitmix64 → U[0,1), keyed on (seed, walker, step) — the JVM-side
@@ -206,14 +214,11 @@ object Walk {
       .toDF("bucket", "adj").as[(Long, graft.model.AdjRow)]
       .groupByKey(_._1)
 
-    val workDir = java.nio.file.Files.createTempDirectory("graft-chain-").toString
-    val fpDir = s"$workDir/footprints"
-
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
       .as[(Long, Int, Long)].localCheckpoint(true)
-    frontier.toDF("walkerId", "step", "curV")
-      .select(col("walkerId"), col("step"), col("curV").as("vertex"))
-      .write.mode("append").parquet(fpDir)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.toDF("walkerId", "step", "curV")
+        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
 
     var outer = 0
     var active = frontier.count()
@@ -254,9 +259,8 @@ object Walk {
       }.toDF("walkerId", "step", "vertex", "moved")
         .localCheckpoint(true)
 
-      out.filter(!col("moved"))
+      history += out.filter(!col("moved"))
         .select(col("walkerId"), col("step"), col("vertex"))
-        .write.mode("append").parquet(fpDir)
       frontier = out.filter(col("moved"))
         .select(col("walkerId"), col("step"), col("vertex").as("curV"))
         .as[(Long, Int, Long)].localCheckpoint(true)
@@ -264,7 +268,7 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:chain] outer=$outer active=$active")
     }
-    spark.read.parquet(fpDir)
+    history.reduce(_ unionAll _)
   }
 
   /** Second-order node2vec walk (exact distribution via joins; SURVEY.md
@@ -283,14 +287,10 @@ object Walk {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
 
-    val workDir = java.nio.file.Files.createTempDirectory("graft-n2v-").toString
-    val fpDir = s"$workDir/footprints"
-
     var frontier = starts.select(
         col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
       .localCheckpoint(true)
-    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-      .write.mode("append").parquet(fpDir)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
 
     var step = 0
     var active = frontier.count()
@@ -309,14 +309,14 @@ object Walk {
               lit(p), lit(q), rand(seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
       frontier = advanced.localCheckpoint(true)
-      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-        .write.mode("append").parquet(fpDir)
+      history += frontier
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:n2v] step=$step active=$active")
     }
     adj.unpersist(false)
-    spark.read.parquet(fpDir)
+    history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
+      .reduce(_ unionAll _)
   }
 
   /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:
@@ -369,15 +369,12 @@ object Walk {
         }
     }
 
-    val workDir = java.nio.file.Files.createTempDirectory("graft-meta-").toString
-    val fpDir = s"$workDir/footprints"
     val nSchemes = schemes.size
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
         pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
       .localCheckpoint(true)
-    frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-      .write.mode("append").parquet(fpDir)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
 
     var step = 0
     var active = frontier.count()
@@ -390,14 +387,14 @@ object Walk {
           col("schemeId"))
         .filter(col("curV").isNotNull)
       frontier = advanced.localCheckpoint(true)
-      frontier.select(col("walkerId"), col("step"), col("curV").as("vertex"))
-        .write.mode("append").parquet(fpDir)
+      history += frontier
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:meta] step=$step active=$active")
     }
     adj.unpersist()
-    spark.read.parquet(fpDir)
+    history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
+      .reduce(_ unionAll _)
   }
 
   /** Epoched walk (reference "walk rate", include/walk.hpp:140-144,
