@@ -42,14 +42,20 @@ object Components {
         .join(state.select(col("v").as("src"), col("comp").as("srcComp")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(min("srcComp").as("nbrMin"))
-      val jumped = state
-        .join(state.select(col("v").as("comp"), col("comp").as("jumpComp")), Seq("comp"), "left")
-      jumped
+      // double pointer jump: looking up comp(comp(v)) and then the comp of
+      // THAT against the same snapshot quarters long chains per iteration
+      // (labels of same-component vertices are always valid candidates)
+      val lookup = state.select(col("v").as("comp"), col("comp").as("jumpComp"))
+      val lookup2 = state.select(col("v").as("jumpComp"), col("comp").as("jumpComp2"))
+      state
+        .join(lookup, Seq("comp"), "left")
+        .join(lookup2, Seq("jumpComp"), "left")
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("comp").as("prevComp"),
           least(col("comp"),
             coalesce(col("nbrMin"), col("comp")),
-            coalesce(col("jumpComp"), col("comp"))).as("comp"))
+            coalesce(col("jumpComp"), col("comp")),
+            coalesce(col("jumpComp2"), col("comp"))).as("comp"))
         .select(col("v"), col("comp"), (col("comp") =!= col("prevComp")).as("changed"))
     }
 
