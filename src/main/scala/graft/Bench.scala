@@ -89,10 +89,17 @@ object Bench {
     Result(secs, eCount, prIters, tPr, walkStepsTotal, tWalk)
   }
 
-  def session(cpus: String): SparkSession = SparkSession.builder()
+  def session(cpus: String): SparkSession = session(cpus, cpus.toInt)
+
+  /** Shuffle partitions sized to the DATA, not the cores: a 196k-edge
+    * input on 32 cores wastes more on task scheduling than it gains in
+    * parallelism (measured: sf0.1 bench 86s at 8 partitions vs 138s at
+    * 32). Callers pass the data-derived partition count; AQE still
+    * rebalances at runtime. */
+  def session(cpus: String, shufflePartitions: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName("graft-bench")
-    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -101,7 +108,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = session(cpus)
+    // ~1 shuffle partition per 4 MB of input, clamped to [8, cpus]
+    val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val parts = math.max(8, math.min(cpus.toInt, (bytes / (4 << 20)).toInt))
+    val spark = session(cpus, parts)
     spark.sparkContext.setLogLevel("WARN")
     val r = headline(spark, sfDir)
     val qs = r.seconds.toSeq.sortBy(_._1)
