@@ -74,6 +74,20 @@ object SparkEntry {
         .select(col("v"), col("label"))
         .orderBy("v")),
 
+    "q_degree_hist" -> ((s, dir) =>
+      // out-degree distribution — the power-law check for the link graph
+      GraphOps.degrees(eventEdges(s, dir)).toDF()
+        .groupBy(col("outDeg").as("out_deg"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .orderBy("out_deg")),
+
+    "q_cc_sizes" -> ((s, dir) =>
+      // component-size distribution over the succession subgraph
+      Components.run(Derive.successionEdges(Synth.eventsAsTranscripts(s, dir)))
+        .groupBy("comp").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")),
+
     "q_triangles" -> ((s, dir) => Triangles.count(eventEdges(s, dir))),
 
     "q_triangles_vertex" -> ((s, dir) =>
@@ -333,6 +347,24 @@ ORDER BY v"""),
     "q_pagerank" -> pagerankSql(10),
 
     "q_cc_conv" -> ccConvSql,
+
+    "q_degree_hist" ->
+      (derivationCte + """
+, degs AS (
+  SELECT COALESCE(o.v, i.v) AS v, COALESCE(o.out_deg, 0) AS out_deg
+  FROM (SELECT src AS v, COUNT(*) AS out_deg FROM edges GROUP BY 1) o
+  FULL OUTER JOIN (SELECT DISTINCT dst AS v FROM edges) i ON o.v = i.v)
+SELECT CAST(out_deg AS BIGINT) AS out_deg, COUNT(*) AS n_vertices
+FROM degs GROUP BY 1 ORDER BY out_deg"""),
+
+    "q_cc_sizes" ->
+      (ccConvSql
+        .replace("SELECT v, MIN(l) AS comp FROM reach GROUP BY v ORDER BY v",
+          """SELECT size, COUNT(*) AS n_components FROM (
+  SELECT comp, COUNT(*) AS size FROM (
+    SELECT v, MIN(l) AS comp FROM reach GROUP BY v
+  ) GROUP BY comp
+) GROUP BY size ORDER BY size""")),
 
     "q_lpa" -> lpaSql(3),
 
