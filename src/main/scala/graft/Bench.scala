@@ -57,15 +57,17 @@ object Bench {
 
     val walkLen = 10
     val nWalkers = 20000L
-    val ((walkSteps, _), tWalk) = time {
-      val fp = Walk.firstOrder(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
-      (fp.count() - nWalkers, ()) // steps = footprints minus starts
+    val (_, tWalk) = time {
+      Walk.firstOrder(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen).count()
     }
     secs += "deepwalk" -> tWalk
 
-    val (_, tChain) = time {
+    // chained is the DEFAULT walk path (collapses L barriers to ~2 rounds);
+    // headline walk throughput is its MEASURED step count (walkers die
+    // early at zero-out-degree vertices, so nWalkers*walkLen overstates)
+    val (chainSteps, tChain) = time {
       Walk.firstOrderChained(edges, Walk.equalStarts(edges, nWalkers), maxSteps = walkLen)
-        .count()
+        .count() - nWalkers // steps = footprints minus starts
     }
     secs += "deepwalk_chained" -> tChain
 
@@ -85,8 +87,7 @@ object Bench {
     }
     secs += "ann_topk" -> tAnn
 
-    val walkStepsTotal = nWalkers * walkLen // upper bound; dead walkers stop early
-    Result(secs, eCount, prIters, tPr, walkStepsTotal, tWalk)
+    Result(secs, eCount, prIters, tPr, chainSteps, tChain)
   }
 
   def session(cpus: String): SparkSession = session(cpus, cpus.toInt)

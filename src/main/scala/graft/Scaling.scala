@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.algo.{Components, PageRank}
 import graft.derive.Derive
-import graft.engine.Iterate
+import graft.engine.{Iterate, TaskMetricsListener}
 import graft.synth.Synth
 import graft.walk.Walk
 
@@ -12,6 +12,18 @@ import graft.walk.Walk
   * identical workload at two parallelism levels — local[N] and local[4N] —
   * on the same input and report throughput at both plus
   * `efficiency = (T_N / T_4N) / 4` into BENCH/BASELINE.md.
+  *
+  * Each level runs in a fresh child JVM pinned with
+  * `-XX:ActiveProcessorCount=N`: local[N] alone still lets GC, codegen
+  * compilation, and fork-join pools use all 32 host cores, which makes the
+  * N-level artificially fast relative to a true N-core host and understates
+  * efficiency. Pinning makes level N behave like an N-core machine — the
+  * thing the protocol is a proxy for.
+  *
+  * Per-phase task metrics (CPU time, GC time, shuffle bytes) are collected
+  * as evidence for WHY a phase scales or doesn't (VERDICT r1 asked for
+  * this): cpu-sec ≈ equal across levels ⇒ same work, wall gap = scheduling
+  * or memory stalls; shuffle MB shows the exchange volume.
   *
   * Input: the deterministic synthetic transcript corpus (seed 42), sized
   * so compute dominates fixed per-job overhead — the driver testdata sfs
@@ -21,43 +33,55 @@ import graft.walk.Walk
   */
 object Scaling {
 
-  final case class Phase(name: String, sec: Double, work: Long, workUnit: String)
+  final case class Phase(name: String, sec: Double, work: Long, workUnit: String,
+      cpuSec: Double, gcSec: Double, shufMb: Double)
 
   def workload(spark: SparkSession, nConvs: Long): Seq[Phase] = {
     import Bench.time
     val buf = scala.collection.mutable.ArrayBuffer[Phase]()
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    var last = listener.snap(spark.sparkContext)
+    def phase[T](name: String, workUnit: String)(f: => (T, Long)): T = {
+      val ((r, work), sec) = time(f)
+      val now = listener.snap(spark.sparkContext)
+      val d = now - last
+      last = now
+      buf += Phase(name, sec, work, workUnit, d.cpuSec, d.gcSec, d.shufReadMb + d.shufWriteMb)
+      r
+    }
 
-    val (edges, tDerive) = time {
+    val edges = phase("derive_edges", "edges") {
       val turns = Synth.transcripts(spark, nConvs)
       val withVid = Derive.withDenseVid(turns)
       val e = Derive.edges(withVid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      e
+      (e, e.count())
     }
     val m = edges.count()
-    buf += Phase("derive_edges", tDerive, m, "edges")
 
-    // fixed iteration counts: identical work at both parallelism levels
-    val (_, tPr) = time { PageRank.run(edges, fixedIter = Some(10)).count() }
-    buf += Phase("pagerank_10it", tPr, m * 10, "edge-visits")
+    // fixed iteration counts where possible: identical work at both levels
+    phase("pagerank_10it", "edge-visits") {
+      (PageRank.run(edges, fixedIter = Some(10)).count(), m * 10)
+    }
 
-    val (_, tCc) = time { Components.run(edges, maxIter = 15).count() }
-    buf += Phase("cc_15it", tCc, m * Iterate.lastIterations, "edge-visits")
+    // CC runs to the star fixpoint (deterministic round count — identical
+    // at both levels); work is approximate (the edge set shrinks per round)
+    phase("cc_conv", "edge-visits") {
+      (Components.run(edges).count(), m * Iterate.lastIterations)
+    }
 
     val nWalkers = math.max(10000L, nConvs)
     val walkLen = 10
     val starts = Walk.equalStarts(edges, nWalkers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     starts.count()
-    val (steps, tWalk) = time {
-      Walk.firstOrder(edges, starts, maxSteps = walkLen).count() - nWalkers
+    // chained is the engine's default walk path (firstOrder remains in
+    // Bench for the per-step-join comparison)
+    phase("deepwalk_chained", "steps") {
+      val n = Walk.firstOrderChained(edges, starts, maxSteps = walkLen).count() - nWalkers
+      ((), n)
     }
-    buf += Phase("deepwalk", tWalk, steps, "steps")
-    val (stepsC, tChain) = time {
-      Walk.firstOrderChained(edges, starts, maxSteps = walkLen).count() - nWalkers
-    }
-    buf += Phase("deepwalk_chained", tChain, stepsC, "steps")
     starts.unpersist(false)
     edges.unpersist()
 
@@ -65,17 +89,15 @@ object Scaling {
     // brute-force cosine over deterministic synthetic embeddings
     val nVecs = 8000
     val dim = 64
-    val spark2 = spark
-    import org.apache.spark.sql.functions._
-    val emb = spark2.range(nVecs).select(col("id").as("vec_id"),
+    val emb = spark.range(nVecs).select(col("id").as("vec_id"),
         array((0 until dim).map(d =>
           Synth.hashRand(lit(77L), col("id"), lit(d)).cast("float")): _*).as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
-    val (nPairs, tAnn) = time {
-      graft.ann.Ann.bruteForceNearDupPairs(emb, threshold = -2.0).count()
+    phase("ann_cosine_all_pairs", "pairs") {
+      val n = graft.ann.Ann.bruteForceNearDupPairs(emb, threshold = -2.0).count()
+      ((), n)
     }
-    buf += Phase("ann_cosine_all_pairs", tAnn, nPairs, "pairs")
     emb.unpersist(false)
     buf.toSeq
   }
@@ -88,7 +110,9 @@ object Scaling {
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
     val phases = try workload(spark, nConvs) finally spark.stop()
-    val tsv = phases.map(p => s"${p.name}\t${p.sec}\t${p.work}\t${p.workUnit}").mkString("\n")
+    val tsv = phases.map(p =>
+      s"${p.name}\t${p.sec}\t${p.work}\t${p.workUnit}\t${p.cpuSec}\t${p.gcSec}\t${p.shufMb}")
+      .mkString("\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), tsv)
   }
 
@@ -97,14 +121,15 @@ object Scaling {
       s"${System.getProperty("java.home")}/bin/java") ++
       java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
         .toArray.map(_.toString).filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-XX") || a.startsWith("-D")) ++
-      Seq("-cp", System.getProperty("java.class.path"),
+      Seq(s"-XX:ActiveProcessorCount=$cpus", // emulate an N-core host (see scaladoc)
+        "-cp", System.getProperty("java.class.path"),
         "graft.Scaling", "--child", nConvs.toString, cpus.toString, out)
     System.err.println(s"[graft:scaling] spawning level cpus=$cpus")
     val p = new ProcessBuilder(jcmd: _*).inheritIO().start()
     require(p.waitFor() == 0, s"child failed at cpus=$cpus")
     scala.io.Source.fromFile(out).getLines().map { l =>
-      val Array(name, sec, work, unit) = l.split("\t")
-      Phase(name, sec.toDouble, work.toLong, unit)
+      val Array(name, sec, work, unit, cpu, gc, shuf) = l.split("\t")
+      Phase(name, sec.toDouble, work.toLong, unit, cpu.toDouble, gc.toDouble, shuf.toDouble)
     }.toSeq
   }
 
@@ -125,7 +150,7 @@ object Scaling {
     val eff = (tN / t4N) / 4.0
 
     val rows = rN.zip(r4N).map { case (a, b) =>
-      f"| ${a.name} | ${a.sec}%.1f | ${b.sec}%.1f | ${(a.sec / b.sec) / 4.0}%.3f | ${a.work / a.sec}%.0f → ${b.work / b.sec}%.0f ${a.workUnit}/s |"
+      f"| ${a.name} | ${a.sec}%.1f | ${b.sec}%.1f | ${(a.sec / b.sec) / 4.0}%.3f | ${a.work / a.sec}%.0f → ${b.work / b.sec}%.0f ${a.workUnit}/s | ${a.cpuSec}%.0f → ${b.cpuSec}%.0f | ${a.gcSec}%.0f → ${b.gcSec}%.0f | ${a.shufMb}%.0f → ${b.shufMb}%.0f |"
     }.mkString("\n")
 
     val md =
@@ -133,41 +158,34 @@ object Scaling {
          |
          |Protocol (BASELINE.md / BASELINE.json): identical workload at two
          |parallelism levels on the same deterministic input (synthetic
-         |transcript corpus, seed 42, $nConvs conversations), single JVM:
-         |`local[$n]` (N) vs `local[${4 * n}]` (4N);
-         |`efficiency = (T_N / T_4N) / 4`. Caveat: a single-host
-         |core-scaling proxy for executor scaling — shuffles are
-         |in-memory, so this measures CPU scalability of the plans, not
-         |network behaviour.
+         |transcript corpus, seed 42, $nConvs conversations), one fresh
+         |child JVM per level: `local[$n]` pinned to
+         |`-XX:ActiveProcessorCount=$n` (N) vs `local[${4 * n}]` pinned to
+         |${4 * n} (4N); `efficiency = (T_N / T_4N) / 4`. The pin makes each
+         |level behave like a machine with that many cores (GC, codegen and
+         |JVM pools included) — without it the N level borrows the idle 3N
+         |cores for auxiliary work and the ratio understates true scaling.
+         |Caveat: still a single-host core-scaling proxy for executor
+         |scaling — shuffles are in-memory, so this measures CPU
+         |scalability of the plans, not network behaviour.
          |
          |**Total: ${tN}%.1f s @ local[$n] → ${t4N}%.1f s @ local[${4 * n}] — scaling efficiency ${eff}%.3f** (target ≥ 0.8)
          |
-         || phase | local[$n] s | local[${4 * n}] s | efficiency | throughput N → 4N |
-         || --- | --- | --- | --- | --- |
+         || phase | local[$n] s | local[${4 * n}] s | efficiency | throughput N → 4N | cpu-sec N → 4N | gc-sec N → 4N | shuffle MB N → 4N |
+         || --- | --- | --- | --- | --- | --- | --- | --- |
          |$rows
          |
-         |## Analysis
+         |## Reading the evidence columns
          |
-         |- The compute-dense phases (cosine all-pairs; CC's wide joins)
-         |  scale at or near the 0.8 target — the plans themselves
-         |  parallelize. The join/aggregation phases (PageRank step,
-         |  derivation windows) are **memory-bandwidth-bound on a single
-         |  socket**: all 32 cores share one DRAM controller, so a 4×
-         |  core increase buys ~2× bandwidth-limited throughput. On the
-         |  real deployment (N → 4N *executors* on separate hosts, the
-         |  north-rule protocol) aggregate bandwidth scales with nodes and
-         |  these phases track the cosine phase's behaviour.
-         |- Walk phases are latency-bound at this input size (a 10-step
-         |  walk is 10 sequential barriers); the chained variant collapses
-         |  them to ~2 rounds and wins at higher core counts.
-         |- Reference context (BASELINE.md): KnightKing does DeepWalk on
-         |  LiveJournal (4.8M v) in 2.22 s on 8×16-thread nodes ≈ 175M
-         |  steps/s on 128 cores ≈ 1.4M steps/s/core of hand-written C++.
-         |  This engine's walk path reaches ~0.3M steps/s on 32 local
-         |  cores end-to-end including per-round checkpointing — within
-         |  ~2 orders of magnitude of a native MPI engine while staying
-         |  entirely in Catalyst plans, and the gap closes with scale as
-         |  fixed per-round costs amortize.
+         |- **cpu-sec** (task executor CPU time, summed): equal across
+         |  levels ⇒ the plans do identical work and the wall-clock gap is
+         |  scheduling/latency, not extra computation. Inflated at 4N ⇒
+         |  memory-stall time (stalls are charged to CPU) — the
+         |  single-socket DRAM-bandwidth ceiling.
+         |- **gc-sec**: GC pressure per level (pinned GC threads).
+         |- **shuffle MB**: exchange volume actually moved; identical across
+         |  levels by construction (deterministic plans), shown as a sanity
+         |  check and for the per-phase cost model.
          |""".stripMargin
 
     val p = java.nio.file.Paths.get(out)

@@ -2,68 +2,114 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.engine.Iterate
 import graft.graph.GraphOps
 
-/** Connected components by small-label propagation with pointer jumping —
-  * each vertex converges to the minimum vertex id of its (undirected)
-  * component. Exact ids (north rule: "component/label IDs ... exact").
+/** Connected components by alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+  * 2014) — each vertex converges to the minimum vertex id of its
+  * (undirected) component. Exact ids (north rule: "component/label IDs ...
+  * exact").
   *
-  * Per iteration: comp'(v) = min( comp(v),
-  *                                min_{u ∈ N(v)} comp(u),     — propagation
-  *                                comp(comp(v)) )             — pointer jump
-  * The jump term contracts long chains in O(log n) iterations instead of
-  * O(diameter) — essential for the transcript graph's tool chains, whose
-  * diameter grows linearly with data size. Converges when no label
-  * changes. Labels only decrease and are always ids of same-component
-  * vertices, so the fixpoint is the component minimum.
+  * Round k state = the current canonical edge set (src < dst); one round:
+  *
+  *  - large-star: for every vertex u, connect each strictly-larger
+  *    neighbour v > u to m = min(N(u) ∪ {u})
+  *  - small-star: orient edges toward the larger endpoint; for every u,
+  *    connect u and each smaller neighbour to m = min(N(u))
+  *
+  * Both operations preserve connectivity, never create inter-component
+  * edges, and alternate to a fixpoint (a forest of stars centred on each
+  * component's minimum) in O(log² n) rounds — ~13-16 rounds on a 20k-vertex
+  * path in simulation REGARDLESS of how ids are ordered along the path.
+  *
+  * This replaced a min-label + pointer-jump formulation that is O(log n)
+  * only when ids are monotone along chains: on randomly-ordered paths
+  * (exactly what the cross-conversation tool chains look like, since their
+  * order is lexicographic in conv_id while vids are numeric) it needed
+  * >300 iterations for 1k vertices and silently hit maxIter.
+  *
+  * Scale: each phase is one partial-aggregated min + one co-partitioned
+  * join + distinct — no collect_list of a full neighbourhood, so a
+  * heavy-hitter hub never materializes its adjacency in one task; the hot
+  * join key is AQE-skew-splittable. The edge set shrinks every round as
+  * stars contract.
   */
 object Components {
 
-  /** @return (v LONG, comp LONG) */
+  /** One large-star phase over the canonical edge set. */
+  private[algo] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(least(col("u"), col("mv")).as("src"), col("v").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star phase over the canonical edge set. */
+  private[algo] def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(col("dst").as("u"), col("src").as("v")) // u > v
+    val mins = oriented.groupBy("u").agg(min("v").as("mv"))
+    oriented.join(mins, "u")
+      .filter(col("v") =!= col("mv"))
+      .select(col("mv").as("src"), col("v").as("dst"))
+      .unionAll(mins.select(col("mv").as("src"), col("u").as("dst")))
+      .distinct()
+  }
+
+  /** Exact multiset fingerprint of an edge set: (count, Σ xxhash64). Two
+    * consecutive rounds with equal fingerprints ⇒ fixpoint (the iteration
+    * is deterministic, so equality of the 128-bit aggregate is equality of
+    * the sets up to a vanishing hash-collision probability — and any
+    * false stop would fail the exact DuckDB oracle). */
+  private def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  /** @return (v LONG, comp LONG); `strict` throws if `maxIter` is reached
+    *         before the star fixpoint (no silent non-convergence). */
   def run(
       edges: DataFrame,
       maxIter: Int = 50,
       store: Option[Iterate.CheckpointStore] = None,
-      runName: String = "cc"): DataFrame = {
-    val und = GraphOps.undirect(edges).select("src", "dst")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+      runName: String = "cc",
+      strict: Boolean = true): DataFrame = {
+    val verts = GraphOps.vertices(edges)
 
-    val state0 = GraphOps.vertices(edges)
-      .select(col("v"), col("v").as("comp"), lit(true).as("changed"))
+    val state0 = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
 
-    // `changed` is carried as a state column so convergence is a cheap
-    // filter over the just-written checkpoint — one Spark job/iteration
-    def step(state: DataFrame, iter: Int): DataFrame = {
-      val nbrMin = und
-        .join(state.select(col("v").as("src"), col("comp").as("srcComp")), Seq("src"))
-        .groupBy(col("dst").as("v"))
-        .agg(min("srcComp").as("nbrMin"))
-      // double pointer jump: looking up comp(comp(v)) and then the comp of
-      // THAT against the same snapshot quarters long chains per iteration
-      // (labels of same-component vertices are always valid candidates)
-      val lookup = state.select(col("v").as("comp"), col("comp").as("jumpComp"))
-      val lookup2 = state.select(col("v").as("jumpComp"), col("comp").as("jumpComp2"))
-      state
-        .join(lookup, Seq("comp"), "left")
-        .join(lookup2, Seq("jumpComp"), "left")
-        .join(nbrMin, Seq("v"), "left")
-        .select(col("v"), col("comp").as("prevComp"),
-          least(col("comp"),
-            coalesce(col("nbrMin"), col("comp")),
-            coalesce(col("jumpComp"), col("comp")),
-            coalesce(col("jumpComp2"), col("comp"))).as("comp"))
-        .select(col("v"), col("comp"), (col("comp") =!= col("prevComp")).as("changed"))
+    def step(state: DataFrame, iter: Int): DataFrame =
+      smallStar(largeStar(state))
+
+    // converged ⇔ the edge set is stable across one full round; the
+    // previous round's fingerprint is carried so each check costs one agg
+    var prevFp: Option[(Long, java.math.BigDecimal)] = None
+    def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean = {
+      val pf = prevFp.getOrElse(fingerprint(prev))
+      val nf = fingerprint(next)
+      prevFp = Some(nf)
+      pf == nf
     }
 
-    def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
-      next.filter(col("changed")).isEmpty
+    val stars = Iterate.run(runName, state0, step, converged, maxIter, None, store)
+    if (strict && !Iterate.lastConverged)
+      throw new IllegalStateException(
+        s"[graft:$runName] connected components did not reach the star fixpoint in $maxIter rounds")
 
-    val out = Iterate.run(runName, state0, step, converged, maxIter, None, store)
-    und.unpersist()
-    out.select(col("v"), col("comp"))
+    // fixpoint = stars (root = component min as src); min() is belt and
+    // braces for the pre-fixpoint state when strict=false
+    val parents = stars.groupBy(col("dst").as("v")).agg(min("src").as("comp"))
+    verts.join(parents, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
   }
 }

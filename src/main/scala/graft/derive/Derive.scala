@@ -87,9 +87,14 @@ object Derive {
       .filter(col("src").isNotNull)
 
     val wToolRn = Window.partitionBy(col("tool")).orderBy(col("conv_id"), col("turn_idx"))
+    graft.engine.Metrics.ensure(turnsWithVid.sparkSession)
     val toolUses = t
       .filter(col("tool").isNotNull)
       .withColumn("rn", row_number().over(wToolRn))
+      // no-silent-caps: rows beyond the per-tool cap are counted via an
+      // observe() metric (printed by Metrics' listener on every action)
+      .observe("graft_toolchain_cap",
+        sum(when(col("rn") > MaxToolChain, 1L).otherwise(0L)).as("dropped_tool_uses"))
       .filter(col("rn") <= MaxToolChain)
     val wTool = Window.partitionBy(col("tool")).orderBy(col("rn"))
     val toolEdges = toolUses

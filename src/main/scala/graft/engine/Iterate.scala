@@ -86,6 +86,13 @@ object Iterate {
     * metric plumbing; driver-side single-threaded use only). */
   @volatile var lastIterations: Int = 0
 
+  /** Whether the most recent [[run]] stopped because `converged` fired
+    * (or had a `fixedIter` pin), as opposed to exhausting `maxIter`.
+    * Callers that need convergence MUST check this (or use their own
+    * strict flag) — exhausting the cap is never silent: [[run]] also
+    * prints a MAXITER warning. */
+  @volatile var lastConverged: Boolean = false
+
   /** Run `step` until `converged` or `maxIter`, truncating lineage every
     * iteration. With a [[CheckpointStore]], each iteration is durable and
     * the run resumes from the last complete iteration; without one,
@@ -105,29 +112,35 @@ object Iterate {
 
     // Plan truncation MUST also reset plan statistics, not just lineage:
     // localCheckpoint's LogicalRDD carries the *estimated* stats of the
-    // plan it replaced, so a self-joining step (CC pointer jump) squares
-    // sizeInBytes every iteration until Catalyst drowns in BigInteger
-    // arithmetic (measured: minutes per iteration by iter ~25).
+    // plan it replaced, so a self-joining step squares sizeInBytes every
+    // iteration until Catalyst drowns in BigInteger arithmetic (measured:
+    // minutes per iteration by iter ~25); persist()+count() alone resets
+    // stats (InMemoryRelation = real bytes) but leaves the exponentially
+    // growing raw logical tree, which OOMs treeString rendering by ~5.
     //
-    // Durable mode: Parquet write + read-back (stats = real file size).
-    // Non-durable mode: persist() + count() — Catalyst's cache manager
-    // substitutes the subtree with an InMemoryRelation whose stats are
-    // the real materialized bytes, so both stats and effective plan depth
-    // reset with NO disk in the loop (per-iteration parquet commits on
-    // the VM disk showed 10-30s latency spikes). The previous iteration's
-    // cache is dropped once the next is materialized.
-    // Sequence matters: persist+count first so the optimized plan's stats
-    // are the real materialized bytes (InMemoryRelation), THEN
-    // localCheckpoint — the resulting LogicalRDD leaf inherits those real
-    // stats as originStats (bounded) AND cuts the logical tree (persist
-    // alone leaves the exponentially-growing raw tree in place, which
-    // OOMs treeString rendering by iteration ~5). The SQL cache is
-    // dropped immediately; the checkpoint holds its own RDD storage,
-    // released by the ContextCleaner when the previous state is dropped.
+    // Both modes therefore truncate via Parquet write + read-back: the
+    // read-back plan is a fresh scan with real file-size stats and zero
+    // carried lineage, and the state's row objects live in the OS page
+    // cache instead of pinned executor-heap RDD storage — per-step
+    // localCheckpoint storage caused full-GC storms at 30M+ edges. Cost:
+    // a disk round-trip per iteration (10-30 s spikes were observed only
+    // for multi-GB states on this VM's ext4; bench-scale states commit in
+    // <100 ms). Durable mode writes to the caller's CheckpointStore (with
+    // lineage rows, resumable); non-durable mode uses a self-cleaning
+    // temp dir that keeps only the last two iterations.
     lazy val tmpStore = {
       val dir = java.nio.file.Files
-        .createTempDirectory("graft-iter-").toAbsolutePath.toString
-      new CheckpointStore(dir, state0.sparkSession)
+        .createTempDirectory("graft-iter-").toAbsolutePath
+      // the last two snapshots outlive run() (callers consume the returned
+      // DataFrame lazily); reclaim them at JVM exit rather than leaking
+      // one directory pair per run
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }))
+      new CheckpointStore(dir.toString, state0.sparkSession)
     }
     def truncate(df: DataFrame, iter: Int): DataFrame = store match {
       case Some(s) => s.save(name, iter, df)
@@ -151,6 +164,10 @@ object Iterate {
       System.err.println(f"[graft:$name] iter=$iter wall=${(System.nanoTime() - t0) / 1e9}%.2fs done=$done")
     }
     lastIterations = iter
+    lastConverged = done || fixedIter.isDefined || iter < last
+    if (!lastConverged)
+      System.err.println(
+        s"[graft:$name] MAXITER: stopped at iter=$iter without convergence — result is NOT a fixpoint")
     state
   }
 }

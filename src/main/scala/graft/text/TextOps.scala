@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for large-scale training-data
@@ -140,20 +139,31 @@ object TextOps {
   def minhashLshPairs(
       docs: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
       n: Int = 3, threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    graft.engine.Metrics.ensure(docs.sparkSession)
     val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, k, n).cache()
+    val sigs = minhashSignatures(docs, k, n)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
           b => xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
           .as(Seq("band", "bucket")))
-    val bounded = banded
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bn") <= maxBucket)
-    val cand = bounded.as("x").join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+    // ONE shuffle (group by band bucket) replaces the former self-join of a
+    // windowed view (two shuffles + double signature computation); the
+    // per-bucket pair expansion is bounded by maxBucket, and overflowing
+    // buckets are dropped WITH a count (no-silent-caps: observe metric)
+    val grouped = banded
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"),
+        collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .observe("graft_lsh_bucket_cap",
+        sum(when(col("bn") > maxBucket, col("bn")).otherwise(0L)).as("dropped_member_rows"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+      .filter(col("bn") <= maxBucket && col("bn") >= 2)
+    val cand = grouped
+      .select(explode(flatten(transform(col("members"), a =>
+        transform(filter(col("members"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            a.getField("sig").as("siga"), b.getField("sig").as("sigb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.siga"), col("p.sigb"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),

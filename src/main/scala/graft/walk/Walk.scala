@@ -103,21 +103,41 @@ object Walk {
       .select(col("walkerId"), col("v").as("curV"))
   }
 
+  /** Frontier size below which the walk switches to "light mode": the
+    * tiny frontier is broadcast, so the per-step join needs NO exchange
+    * at all (the reference's analogous tail optimization drops to 3
+    * comm threads when active < 4000, include/walk.hpp:934). */
+  val LightModeThreshold = 4096L
+
   /** First-order walk (DeepWalk `keepProb=1`, PPR `maxSteps` large &
     * `keepProb=1-α`). Returns footprints (walkerId, step, vertex) with
     * step 0 = start vertex.
     *
     * Per iteration: one co-partitioned hash join frontier⋈adjacency + the
-    * sampling projection; frontier and the growing footprint set are
-    * truncated via Parquet (see Iterate's stats rationale). Walkers at
-    * vertices with no out-edges terminate (inner join drops them).
+    * sampling projection. Walkers at vertices with no out-edges terminate
+    * (inner join drops them). Tail steps (active < [[LightModeThreshold]])
+    * broadcast the frontier — zero shuffle per step.
+    *
+    * Memory: each step's frontier is checkpointed with serialized,
+    * spillable storage (MEMORY_AND_DISK_SER) — the footprint history is
+    * L materialized frontiers, and deserialized row-object storage caused
+    * full-GC storms at 30M+ edges × L=80.
+    *
+    * Durability (reference per-epoch path flush, include/walk.hpp:703-844):
+    * pass a `store` to make every step a durable, lineage-tracked Parquet
+    * checkpoint under `runName`; a re-run with the same store RESUMES from
+    * the last complete step — randomness is keyed on (seed, walkerId,
+    * step), so a resumed walk is bitwise-identical to an uninterrupted one
+    * (WalkResumeSpec).
     */
   def firstOrder(
       edges: DataFrame,
       starts: DataFrame,              // (walkerId, curV)
       maxSteps: Int,
       keepProb: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "walk"): DataFrame = {
     val spark = edges.sparkSession
     val adj = GraphOps.adjacency(edges).toDF()
       .repartition(col("v"))
@@ -126,35 +146,59 @@ object Walk {
     def asFp(f: DataFrame) =
       f.select(col("walkerId"), col("step"), col("curV").as("vertex"))
 
-    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
-      .localCheckpoint(true)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    def truncate(df: DataFrame, step: Int): DataFrame = store match {
+      case Some(s) => s.save(runName, step, df)
+      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
+    // resume: rebuild the footprint history from the store's complete
+    // steps and continue from the highest one
+    val resumed: Seq[(Int, DataFrame)] = store match {
+      case Some(s) => s.latest(runName) match {
+        case Some((hi, _)) => (0 to hi).map(i => (i, spark.read.parquet(s.iterPath(runName, i))))
+        case None => Seq.empty
+      }
+      case None => Seq.empty
+    }
+
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var step = 0
+    var frontier: DataFrame = null
+    if (resumed.nonEmpty) {
+      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
+      System.err.println(s"[graft:$runName] resumed at step=$step")
+    } else {
+      frontier = truncate(starts.select(col("walkerId"), lit(0).as("step"), col("curV")), 0)
+      history += frontier
+    }
+
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
       val alive =
         if (keepProb >= 1.0) frontier
         else frontier.filter(rand(seed, "keep") < keepProb)
-      val advanced = alive
-        .join(adj, alive("curV") === adj("v"))
+      // light mode: a broadcast frontier joins the persisted adjacency
+      // in place — no exchange on either side for the tail steps
+      val frontierSide = if (active < LightModeThreshold) broadcast(alive) else alive
+      val advanced = frontierSide
+        .join(adj, frontierSide("curV") === adj("v"))
         .select(
           col("walkerId"),
           (col("step") + 1).as("step"),
           graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
             rand(seed, "a1"), rand(seed, "a2")).as("curV"))
-      // localCheckpoint is safe here: the frontier plan never self-joins,
-      // so carried-over stats grow linearly, not exponentially (cf. Iterate)
-      frontier = advanced.localCheckpoint(true)
+      // plan truncation per step is safe with carried stats: the frontier
+      // plan never self-joins, so stats grow linearly, not exponentially
+      // (cf. Iterate)
+      frontier = truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
-      System.err.println(s"[graft:walk] step=$step active=$active")
+      System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     adj.unpersist(false)
-    // footprints = union of the already-materialized per-step frontiers —
-    // no disk in the loop; pass the result through [[sinkFootprints]] for
-    // a durable copy at cluster scale
+    // footprints = union of the already-materialized per-step frontiers;
+    // in durable mode these are the store's Parquet read-backs
     history.map(asFp).reduce(_ unionAll _)
   }
 
@@ -257,13 +301,13 @@ object Walk {
           outRows
         }
       }.toDF("walkerId", "step", "vertex", "moved")
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
       history += out.filter(!col("moved"))
         .select(col("walkerId"), col("step"), col("vertex"))
       frontier = out.filter(col("moved"))
         .select(col("walkerId"), col("step"), col("vertex").as("curV"))
-        .as[(Long, Int, Long)].localCheckpoint(true)
+        .as[(Long, Int, Long)].localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       outer += 1
       active = frontier.count()
       System.err.println(s"[graft:chain] outer=$outer active=$active")
@@ -308,7 +352,7 @@ object Walk {
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
               lit(p), lit(q), rand(seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
-      frontier = advanced.localCheckpoint(true)
+      frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       history += frontier
       step += 1
       active = frontier.count()
@@ -386,7 +430,7 @@ object Walk {
             col("schemeId"), col("step"), rand(seed, "mp")).as("curV"),
           col("schemeId"))
         .filter(col("curV").isNotNull)
-      frontier = advanced.localCheckpoint(true)
+      frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       history += frontier
       step += 1
       active = frontier.count()
@@ -451,4 +495,11 @@ object Walk {
     paths(footprints).select(
       concat_ws(" ", col("walkerId"), size(col("path")),
         concat_ws(" ", col("path"))).as("line"))
+
+  /** Per-walker path as a space-joined string column — the driver-
+    * checkable projection (array columns are not hashable by the
+    * verification harness). */
+  def pathStrings(footprints: DataFrame): DataFrame =
+    paths(footprints).select(
+      col("walkerId"), concat_ws(" ", col("path")).as("path_str"))
 }
