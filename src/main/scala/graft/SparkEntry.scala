@@ -470,7 +470,128 @@ s AS (
   SELECT vec_a, vec_b, $cosSql AS cos FROM q, c WHERE vec_a < vec_b)
 SELECT vec_a, vec_b, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
 FROM s WHERE cos >= 0.35 ORDER BY vec_a, vec_b""",
+
+    // rolling 64-bit fingerprint: portable h64 token values + a wraparound
+    // fold (HUGEINT mod 2^64 re-signed to BIGINT = JVM long arithmetic)
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+  CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT
+            ELSE r END AS BIGINT) AS fp64
+FROM (
+  SELECT doc_id, list_reduce(
+      list_prepend(1125899906842597::HUGEINT,
+        list_transform(string_split_regex(trim(text), '\\s+'),
+          t -> CAST(${h64Sql("t")} AS HUGEINT))),
+      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS r
+  FROM documents)
+ORDER BY doc_id""",
+
+    "q_minhash_lsh" -> minhashLshSql,
+
+    "q_simhash" ->
+      s"""WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+), th AS MATERIALIZED (
+  SELECT doc_id, ${h64Sql("t")} AS h FROM tok
+), bits AS MATERIALIZED (
+  SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN range(0, 60) r(i) GROUP BY 1, 2
+), sh AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+), chunked AS MATERIALIZED (
+  SELECT doc_id, simhash, c, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS key
+  FROM sh CROSS JOIN range(0, 4) r(c)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS ha, y.simhash AS hb
+  FROM chunked x JOIN chunked y ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
+
+    "q_ann_lsh_topk" -> annLshTopKSql,
   )
+
+  /** DuckDB twin of [[TextOps.h64]] — applied as `h64Sql(expr)`. */
+  private def h64Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** MinHash-LSH oracle: identical signature family (same driver-derived
+    * (A_i, B_i) constants as [[TextOps.hashFamily]]), banding, bucket cap,
+    * and signature-similarity filter as [[TextOps.minhashLshPairs]]. */
+  private def minhashLshSql: String = {
+    val k = 64; val rowsPerBand = 4; val nBands = k / rowsPerBand
+    val fam = TextOps.hashFamily(k)
+    val sigEntries = fam.map { case (a, b) =>
+      s"list_min(list_transform(th, t -> (t * $a + $b) % ${TextOps.HashP}))"
+    }.mkString(",\n      ")
+    s"""WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), s AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END),
+      sh -> ${h64Sql("sh")} % ${TextOps.HashP}) AS th
+  FROM d
+), sigs AS MATERIALIZED (
+  SELECT doc_id,
+    [ $sigEntries ] AS sig
+  FROM s
+), banded AS MATERIALIZED (
+  SELECT doc_id, sig, b AS band,
+         md5(array_to_string(sig[b * $rowsPerBand + 1 : b * $rowsPerBand + $rowsPerBand], ',')) AS bucket
+  FROM sigs CROSS JOIN range(0, $nBands) r(b)
+), sized AS MATERIALIZED (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM banded
+), cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+  FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.bn <= 1000 AND y.bn <= 1000
+), sims AS (
+  SELECT doc_a, doc_b,
+    list_sum(list_transform(range(1, ${k + 1}), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / $k.0 AS sim
+  FROM cand)
+SELECT doc_a, doc_b, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM sims WHERE sim >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  /** ANN LSH top-k oracle: the hyperplane matrices are the SAME
+    * driver-computed constants [[Ann.planeMatrix]] embeds in the Spark
+    * plan, emitted here as SQL literals. */
+  private def annLshTopKSql: String = {
+    val nPlanes = 8; val nTables = 4; val dim = 64
+    val planeRows = (for { t <- 0 until nTables; p <- 0 until nPlanes } yield {
+      val row = Ann.planeMatrix(nPlanes, t * nPlanes, dim)(p)
+      s"($t, $p, [${row.mkString(", ")}])"
+    }).mkString(",\n    ")
+    s"""WITH planes(t, p, comps) AS (VALUES
+    $planeRows
+), dots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+    list_sum(list_transform(range(1, ${dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * pl.comps[i])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+), b AS MATERIALIZED (
+  SELECT vec_id, t,
+    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) + (CAST(t AS BIGINT) << 32) AS bucket
+  FROM dots GROUP BY 1, 2
+), qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 10),
+cb AS (SELECT vec_id AS neighbor_id, bucket FROM b),
+cand AS MATERIALIZED (
+  SELECT DISTINCT query_id, neighbor_id FROM qb JOIN cb USING (bucket) WHERE query_id <> neighbor_id
+), s AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, $cosSql AS cos
+  FROM cand c
+  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = c.query_id
+  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e2 ON e2.vec_id = c.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s)
+SELECT query_id, rank, neighbor_id, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_e4
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   /** Double-precision cosine in DuckDB, summation order identical to the
     * Spark aggregate() fold so the doubles match bitwise. */

@@ -38,34 +38,41 @@ object Ann {
         round(col("cos") * 1e4).cast("long").as("cos_e4"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 mapped to [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    shiftrightunsigned(xxhash64(lit(plane), dim, lit("rhp")), 11)
-      .cast("double") / lit(4503599627370496.0) - 1.0 // 2^52
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) in
+    * [-1, 1): md5-derived so any engine can reproduce it; computed ONCE on
+    * the driver (the matrices are plan literals — round 1 recomputed a
+    * hash per row × plane × dim). */
+  def planeComponent(plane: Int, dim: Int): Double =
+    graft.text.TextOps.h64jvm(s"rhp:$plane:$dim").toDouble /
+      1152921504606846976.0 * 2.0 - 1.0 // 2^60
+
+  /** Hyperplane matrix for one LSH table: nPlanes rows × dim columns. */
+  def planeMatrix(nPlanes: Int, planeOffset: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, d) => planeComponent(planeOffset + p, d))
 
   /** Sign-random-projection LSH bucket id: `nPlanes` sign bits of dots
-    * with pseudo-random hyperplanes. `planeOffset` selects an independent
-    * plane set (one per LSH table — tables MUST use distinct planes or
-    * they all produce identical buckets). */
-  def lshBucket(embedding: Column, nPlanes: Int, planeOffset: Int): Column =
-    (0 until nPlanes).map { p =>
+    * with the precomputed hyperplane rows. `planeOffset` selects an
+    * independent plane set (one per LSH table — tables MUST use distinct
+    * planes or they all produce identical buckets). */
+  def lshBucket(embedding: Column, nPlanes: Int, planeOffset: Int, dim: Int): Column = {
+    val planes = planeMatrix(nPlanes, planeOffset, dim)
+    planes.zipWithIndex.map { case (row, p) =>
       val dotP = aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (x, i) => x.cast("double") * planeComponent(planeOffset + p, i)),
+        zip_with(embedding, typedlit(row.toSeq), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Approximate near-duplicate pairs: cosine >= threshold among pairs
     * sharing at least one of `nTables` LSH buckets. Scale path: join is
     * bucket-local; table count trades recall for cost. */
   def lshNearDupPairs(
       corpus: DataFrame, threshold: Double = 0.9,
-      nPlanes: Int = 10, nTables: Int = 6): DataFrame = {
+      nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64): DataFrame = {
     val tabled = corpus.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("embedding"), nPlanes, t * nPlanes) + lit(t.toLong << 32)): _*))
+          lshBucket(col("embedding"), nPlanes, t * nPlanes, dim) + lit(t.toLong << 32)): _*))
           .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val cand = tabled.as("x").join(tabled.as("y"),
@@ -93,11 +100,11 @@ object Ann {
     * the scale path for [[bruteForceTopK]]. Recall depends on nTables. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
     def tabled(df: DataFrame, idCol: String) =
       df.select(col("vec_id").as(idCol), col("embedding"),
           posexplode(array((0 until nTables).map(t =>
-            lshBucket(col("embedding"), nPlanes, t * nPlanes) + lit(t.toLong << 32)): _*))
+            lshBucket(col("embedding"), nPlanes, t * nPlanes, dim) + lit(t.toLong << 32)): _*))
             .as(Seq("tbl", "bucket")))
         .select(col(idCol), col("embedding"), col("bucket"))
     val c = tabled(corpus, "neighbor_id")

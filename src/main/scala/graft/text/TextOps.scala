@@ -30,6 +30,33 @@ object TextOps {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** First 60 bits of md5 as a non-negative long — the engine's portable
+    * string hash: DuckDB replays it verbatim as
+    * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`, so every operator
+    * built on it is exactly oracle-checkable (unlike xxhash64 / JVM
+    * hashCode, which no other engine reproduces). */
+  def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** JVM twin of [[h64]] for driver-side constant derivation. */
+  def h64jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Mersenne prime 2^31-1: the universal-hash modulus. Products of two
+    * sub-P values stay < 2^62, so the arithmetic is exact (and ANSI-safe)
+    * in both Spark and DuckDB BIGINTs. */
+  val HashP = 2147483647L
+
+  /** k-member universal hash family over [[HashP]]: h_i(t) = (A_i·t + B_i)
+    * mod P with constants derived from [[h64jvm]] — one md5 per input
+    * value, k cheap codegen'd multiply-mods (the Kirsch-Mitzenmacher-style
+    * alternative to k independent md5 evaluations). */
+  def hashFamily(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map(i =>
+      ((h64jvm(s"graft-mh-a-$i") % (HashP - 1)) + 1, h64jvm(s"graft-mh-b-$i") % HashP))
+
   /** (doc_id, n_tokens) — whitespace tokenization plus a BPE-ish subword
     * estimate (tokens ≈ ceil(chars/4), the common budget heuristic). */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -86,15 +113,18 @@ object TextOps {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
 
-  /** Rolling polynomial 64-bit hash over tokens (document fingerprinting
-    * with wraparound arithmetic — engine-side only, tested in ScalaTest). */
+  /** Rolling polynomial 64-bit hash over md5-derived token values
+    * (document fingerprinting with wraparound arithmetic). Token hashing
+    * is the portable [[h64]] column expression; only the sequential
+    * wraparound fold is a (tiny) UDF — DuckDB replays it with
+    * `list_reduce` in HUGEINT mod-2^64 arithmetic. */
   val rollingHash: Column => Column = {
-    val f = udf { toks: Seq[String] =>
+    val fold = udf { hs: Seq[Long] =>
       var h = 1125899906842597L
-      toks.foreach { t => h = h * 31L + t.hashCode.toLong }
+      hs.foreach { t => h = h * 31L + t }
       h
     }
-    (text: Column) => f(tokens(text))
+    (text: Column) => fold(transform(tokens(text), t => h64(t)))
   }
 
   /** Word n-gram shingles (default 3-grams; falls back to the whole token
@@ -120,12 +150,18 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
   }
 
-  /** MinHash signatures: k independent hash functions h_i(s) =
-    * xxhash64(i, s), signature(i) = min over shingles. */
+  /** MinHash signatures: one portable md5 per shingle ([[h64]] mod P),
+    * then k universal-hash derivations ([[hashFamily]]); signature(i) =
+    * min over shingles. Exactly replayable in DuckDB SQL, and cheaper
+    * than k independent full hashes (k codegen'd multiply-mods per
+    * shingle instead of k string hashes). */
   def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
-    val sig = array((0 until k).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+    val fam = hashFamily(k)
+    val sh = docs.select(col("doc_id"),
+      transform(array_distinct(shingles(col("text"), n)), s => pmod(h64(s), lit(HashP)))
+        .as("th"))
+    val sig = array(fam.map { case (a, b) =>
+      array_min(transform(col("th"), t => pmod(t * a + b, lit(HashP))))
     }: _*)
     sh.select(col("doc_id"), sig.as("sig"))
   }
@@ -144,7 +180,8 @@ object TextOps {
     val sigs = minhashSignatures(docs, k, n)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-          b => xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+          b => md5(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ","))))
           .as(Seq("band", "bucket")))
     // ONE shuffle (group by band bucket) replaces the former self-join of a
     // windowed view (two shuffles + double signature computation); the
@@ -174,36 +211,36 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
-  /** 64-bit SimHash over tokens: sign-sum of per-token hash bits. */
+  /** 60-bit SimHash over tokens: sign-sum of per-token [[h64]] bits.
+    * Token hashing is the portable md5 column expression; the per-bit
+    * accumulation fold is a tiny UDF that DuckDB replays relationally
+    * (unnest tokens × 60 bits, SUM of ±1, re-assemble). 60 bits (not 64)
+    * so one md5 prefix yields the whole hash in both engines. */
   def simhash(docs: DataFrame): DataFrame = {
-    val f = udf { toks: Seq[String] =>
-      val acc = new Array[Int](64)
-      toks.foreach { t =>
-        // splitmix64 of the token's 32-bit hash: cheap, deterministic
-        var z = t.hashCode.toLong * -7046029254386353131L
-        z = (z ^ (z >>> 30)) * -4658895280553007687L
-        z = (z ^ (z >>> 27)) * -7723592293110705685L
-        z = z ^ (z >>> 31)
+    val fold = udf { hs: Seq[Long] =>
+      val acc = new Array[Int](60)
+      hs.foreach { z =>
         var i = 0
-        while (i < 64) { if (((z >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+        while (i < 60) { if (((z >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
       }
       var h = 0L
       var i = 0
-      while (i < 64) { if (acc(i) > 0) h |= (1L << i); i += 1 }
+      while (i < 60) { if (acc(i) > 0) h |= (1L << i); i += 1 }
       h
     }
-    docs.select(col("doc_id"), f(tokens(lower(col("text")))).as("simhash"))
+    docs.select(col("doc_id"),
+      fold(transform(tokens(lower(col("text"))), t => h64(t))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxDist. Blocked by
-    * 16-bit chunks (a pair within distance d<=3 must agree on at least one
+    * 15-bit chunks (a pair within distance d<=3 must agree on at least one
     * of 4 chunks — pigeonhole), so the join is bucket-local, not n². */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "chunk blocking assumes maxDist <= 3 (4 chunks)")
     val hs = simhash(docs)
     val chunked = hs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("chunk", "key")))
     val pairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
