@@ -93,12 +93,15 @@ object SparkEntry {
     "q_triangles_vertex" -> ((s, dir) =>
       Triangles.perVertex(eventEdges(s, dir)).orderBy("v")),
 
-    // walk queries: deterministic (hash-RNG) but not SQL-expressible →
-    // rows-only driver check; distribution correctness is in WalkSpec
+    // walk queries run with the portable md5 RNG + inverse-CDF sampler:
+    // every step is EXACTLY replayed by a recursive DuckDB oracle (the
+    // integer edge weights make all prefix sums float-exact across
+    // engines); distribution correctness is additionally in WalkSpec
     "q_deepwalk" -> ((s, dir) => {
       val edges = eventEdges(s, dir)
       val starts = Walk.equalStarts(edges, 2000)
-      Walk.pathStrings(Walk.firstOrder(edges, starts, maxSteps = 8, seed = 42))
+      Walk.pathStrings(
+          Walk.firstOrder(edges, starts, maxSteps = 8, seed = 42, portableRng = true))
         .orderBy("walkerId")
     }),
 
@@ -106,27 +109,32 @@ object SparkEntry {
       val edges = eventEdges(s, dir)
       val starts = Walk.uniformStarts(edges, 2000, seed = 42)
       Walk.visitCounts(
-          Walk.firstOrderChained(edges, starts, maxSteps = 40, keepProb = 0.85, seed = 42))
+          Walk.firstOrder(edges, starts, maxSteps = 40, keepProb = 0.85, seed = 42,
+            portableRng = true))
         .orderBy("v")
     }),
 
     "q_node2vec" -> ((s, dir) => {
       val edges = eventEdges(s, dir)
       val starts = Walk.equalStarts(edges, 2000)
-      Walk.pathStrings(Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 42))
+      Walk.pathStrings(
+          Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 42,
+            portableRng = true))
         .orderBy("walkerId")
     }),
 
     "q_metapath" -> ((s, dir) => {
-      // heterogeneous walk: edge type = role-transition class of the edge
-      // (derived deterministically); scheme alternates types 0,1 / only 2
+      // heterogeneous walk: edge type = portable-hash class of the edge;
+      // scheme 0 alternates types 0,1; scheme 1 follows only type 2
       val edges = eventEdges(s, dir)
-        .withColumn("etype", pmod(xxhash64(col("src"), col("dst")), lit(3)).cast("int"))
+        .withColumn("etype",
+          pmod(TextOps.h64(concat_ws(":", col("src"), col("dst"))), lit(3)).cast("int"))
       val schemes = Seq(
         Seq(Seq(true, false, false), Seq(false, true, false)),
         Seq(Seq(false, false, true)))
       val starts = Walk.equalStarts(edges, 2000)
-      Walk.pathStrings(Walk.metapath(edges, starts, schemes, maxSteps = 5, seed = 42))
+      Walk.pathStrings(
+          Walk.metapath(edges, starts, schemes, maxSteps = 5, seed = 42, portableRng = true))
         .orderBy("walkerId")
     }),
 
@@ -295,6 +303,128 @@ object SparkEntry {
 SELECT v, MIN(l) AS comp FROM reach GROUP BY v ORDER BY v"""
 
   private val ccConvSql: String = ccSql("succ")
+
+  // ------------------------------------------------------- walk oracles
+
+  /** Shared walk-oracle CTEs: per-vertex adjacency sorted by neighbour id
+    * (DuckDB twin of GraphOps.adjacency) + the dense vertex-rank index
+    * behind Walk.equalStarts/uniformStarts. */
+  private val walkPrepCte: String =
+    """, adj AS MATERIALIZED (
+  SELECT src AS v, list(dst ORDER BY dst) AS nbrs, list(weight ORDER BY dst) AS wts
+  FROM edges GROUP BY src
+), verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), vidx AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx FROM verts
+), nv AS (SELECT COUNT(*) AS n FROM vidx)"""
+
+  /** DuckDB twin of Walk.randP: first 60 bits of
+    * md5("42:walker:step:salt") / 2^60 (exact — power-of-two divisor). */
+  private def randSql(walker: String, step: String, salt: String): String =
+    s"(CAST(('0x' || substr(md5(42 || ':' || $walker || ':' || $step || ':' || '$salt'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+
+  /** DuckDB twin of Walk.inverseCdfSample: smallest index whose prefix sum
+    * exceeds r·total, capped at the last element (range end is exclusive,
+    * so j only runs to n-1 — identical cap to the Spark loop). Exact
+    * because edge weights are integer-valued (prefix sums have no float-
+    * order ambiguity) and r·total is a single IEEE multiplication. */
+  private def pickSql(nbrs: String, wts: String, r: String): String =
+    s"$nbrs[1 + len(list_filter(range(1, len($wts)), j -> list_sum(list_slice($wts, 1, j)) <= ($r) * list_sum($wts)))]"
+
+  private def equalStartsCte(nWalkers: Int): String =
+    s""", starts AS MATERIALIZED (
+  SELECT r.i AS walkerId, x.v AS curV
+  FROM range(0, $nWalkers) r(i) JOIN vidx x ON x.idx = r.i % (SELECT n FROM nv)
+)"""
+
+  /** Recursive replay of the portable-RNG first-order walk. */
+  private def deepwalkSql: String =
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV) AS (
+  SELECT walkerId, 0, curV FROM starts
+  UNION ALL
+  SELECT w.walkerId, w.step + 1, ${pickSql("a.nbrs", "a.wts", randSql("w.walkerId", "w.step", "s"))}
+  FROM walk w JOIN adj a ON w.curV = a.v
+  WHERE w.step < 8
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk GROUP BY walkerId ORDER BY walkerId"""
+
+  /** PPR walk replay: uniform md5 starts + geometric keep draw per step. */
+  private def pprSql: String =
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      s""", starts AS MATERIALIZED (
+  SELECT r.i AS walkerId, x.v AS curV
+  FROM range(0, 2000) r(i)
+  JOIN vidx x ON x.idx = (CAST(('0x' || substr(md5(42 || ':' || r.i || ':' || 'start'), 1, 15)) AS BIGINT) % (SELECT n FROM nv))
+), walk(walkerId, step, curV) AS (
+  SELECT walkerId, 0, curV FROM starts
+  UNION ALL
+  SELECT w.walkerId, w.step + 1, ${pickSql("a.nbrs", "a.wts", randSql("w.walkerId", "w.step", "s"))}
+  FROM walk w JOIN adj a ON w.curV = a.v
+  WHERE w.step < 40 AND ${randSql("w.walkerId", "w.step", "keep")} < 0.85
+)
+SELECT curV AS v, COUNT(*) AS visits FROM walk GROUP BY 1 ORDER BY v"""
+
+  /** node2vec replay: biased weights w_i · (back? 1/p : common-nbr? 1 :
+    * 1/q); exact across engines because p=2, q=0.5 make the biases dyadic
+    * (0.5 / 1.0 / 2.0). */
+  private def node2vecSql: String = {
+    val bw = "list_transform(range(1, len(a.nbrs) + 1), i -> a.wts[i] * " +
+      "CASE WHEN a.nbrs[i] = w.prevV THEN 0.5 " +
+      "WHEN COALESCE(list_contains(pa.nbrs, a.nbrs[i]), FALSE) THEN 1.0 ELSE 2.0 END)"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV, prevV) AS (
+  SELECT walkerId, 0, curV, CAST(NULL AS BIGINT) FROM starts
+  UNION ALL
+  SELECT w.walkerId, w.step + 1,
+    CASE WHEN w.prevV IS NULL THEN ${pickSql("a.nbrs", "a.wts", randSql("w.walkerId", "w.step", "s"))}
+         ELSE ${pickSql("a.nbrs", bw, randSql("w.walkerId", "w.step", "n2v"))} END,
+    w.curV
+  FROM walk w JOIN adj a ON w.curV = a.v LEFT JOIN adj pa ON w.prevV = pa.v
+  WHERE w.step < 6
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk GROUP BY walkerId ORDER BY walkerId"""
+  }
+
+  /** Metapath replay: walker w follows scheme (w mod 2); scheme 0's masks
+    * reduce to "etype = step mod 2", scheme 1's to "etype = 2" (see the
+    * q_metapath scheme literals); sampling is the capped inverse-CDF over
+    * the allowed sub-adjacency — index-for-index the Spark UDF. */
+  private def metapathSql: String = {
+    val allowedIdx = "list_filter(range(1, len(a.nbrs) + 1), i -> " +
+      "CASE WHEN w.walkerId % 2 = 0 THEN a.etypes[i] = CAST(w.step % 2 AS INTEGER) " +
+      "ELSE a.etypes[i] = 2 END)"
+    val an = s"list_transform($allowedIdx, i -> a.nbrs[i])"
+    val aw = s"list_transform($allowedIdx, i -> a.wts[i])"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") +
+      s""", madj AS MATERIALIZED (
+  SELECT src AS v, list(dst ORDER BY dst) AS nbrs, list(weight ORDER BY dst) AS wts,
+         list(CAST(CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS INTEGER) ORDER BY dst) AS etypes
+  FROM edges GROUP BY src
+), verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), vidx AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx FROM verts
+), nv AS (SELECT COUNT(*) AS n FROM vidx)""" +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV) AS (
+  SELECT walkerId, 0, curV FROM starts
+  UNION ALL
+  SELECT * FROM (
+    SELECT w.walkerId, w.step + 1 AS step,
+      ${pickSql(an, aw, randSql("w.walkerId", "w.step", "mp"))} AS curV
+    FROM walk w JOIN madj a ON w.curV = a.v
+    WHERE w.step < 5
+  ) WHERE curV IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk GROUP BY walkerId ORDER BY walkerId"""
+  }
 
   /** LPA, `iters` unrolled synchronous rounds, integer weights, smallest-
     * label tie-break — mirrors graft.algo.LabelProp exactly. */
@@ -511,6 +641,14 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
 
     "q_ann_lsh_topk" -> annLshTopKSql,
+
+    "q_deepwalk" -> deepwalkSql,
+
+    "q_ppr_visits" -> pprSql,
+
+    "q_node2vec" -> node2vecSql,
+
+    "q_metapath" -> metapathSql,
   )
 
   /** DuckDB twin of [[TextOps.h64]] — applied as `h64Sql(expr)`. */

@@ -37,6 +37,38 @@ object Walk {
   private def rand(seed: Long, salt: String): Column =
     Synth.hashRand(lit(seed), col("walkerId"), col("step"), lit(salt))
 
+  /** Portable twin of [[rand]]: first 60 bits of
+    * md5("seed:walkerId:step:salt") / 2^60 — any engine with md5 can
+    * replay the whole walk (the DuckDB oracles do, recursively). The
+    * division is by a power of two, so the double is exact. */
+  private def randP(seed: Long, salt: String): Column =
+    graft.text.TextOps.h64(
+      concat_ws(":", lit(seed), col("walkerId"), col("step"), lit(salt)))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+
+  private def randSel(portable: Boolean, seed: Long, salt: String): Column =
+    if (portable) randP(seed, salt) else rand(seed, salt)
+
+  /** Inverse-CDF draw over a vertex's out-edges (weights in neighbour
+    * order): smallest j with prefix-sum(j+1) > r·total, capped at the last
+    * index. O(deg) instead of the alias table's O(1), but exactly
+    * replayable in SQL (edge weights are integer-valued, so every prefix
+    * sum is exact in doubles — no float-order ambiguity across engines).
+    * Used by the portable-RNG walk variants; the default path keeps the
+    * codegen'd alias sampler. */
+  private val inverseCdfSample =
+    udf { (nbrs: Seq[Long], wts: Seq[Double], r: Double) =>
+      val n = nbrs.size
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += wts(i); i += 1 }
+      val dart = r * total
+      var cum = 0.0
+      var j = 0
+      while (j < n - 1 && { cum += wts(j); cum <= dart }) j += 1
+      nbrs(j)
+    }
+
   /** O(1) alias-table draw over a vertex's out-edges. */
   private val aliasSample =
     udf { (nbrs: Seq[Long], prob: Seq[Double], alias: Seq[Int], r1: Double, r2: Double) =>
@@ -87,8 +119,9 @@ object Walk {
       .select(col("walkerId"), col("v").as("curV"))
   }
 
-  /** Uniform random starts: vertex of dense rank hash(walker) mod |V|
-    * (reference include/walk.hpp:413-421, made deterministic). */
+  /** Uniform random starts: vertex of dense rank h64(walker) mod |V|
+    * (reference include/walk.hpp:413-421, made deterministic; md5-based
+    * so the DuckDB walk oracles replay the start assignment too). */
   def uniformStarts(edges: DataFrame, numWalkers: Long, seed: Long): DataFrame = {
     val spark = edges.sparkSession
     val verts = GraphOps.vertices(edges)
@@ -98,7 +131,8 @@ object Walk {
     val nV = indexed.count()
     spark.range(numWalkers)
       .select(col("id").as("walkerId"),
-        pmod(xxhash64(lit(seed), col("id"), lit("start")), lit(nV)).as("idx"))
+        pmod(graft.text.TextOps.h64(concat_ws(":", lit(seed), col("id"), lit("start"))),
+          lit(nV)).as("idx"))
       .join(indexed, "idx")
       .select(col("walkerId"), col("v").as("curV"))
   }
@@ -137,7 +171,8 @@ object Walk {
       keepProb: Double = 1.0,
       seed: Long = 42L,
       store: Option[graft.engine.Iterate.CheckpointStore] = None,
-      runName: String = "walk"): DataFrame = {
+      runName: String = "walk",
+      portableRng: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val adj = GraphOps.adjacency(edges).toDF()
       .repartition(col("v"))
@@ -176,17 +211,19 @@ object Walk {
     while (active > 0 && step < maxSteps) {
       val alive =
         if (keepProb >= 1.0) frontier
-        else frontier.filter(rand(seed, "keep") < keepProb)
+        else frontier.filter(randSel(portableRng, seed, "keep") < keepProb)
       // light mode: a broadcast frontier joins the persisted adjacency
       // in place — no exchange on either side for the tail steps
       val frontierSide = if (active < LightModeThreshold) broadcast(alive) else alive
+      val sampled =
+        if (portableRng)
+          inverseCdfSample(col("nbrs"), col("wts"), randP(seed, "s"))
+        else
+          graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
+            rand(seed, "a1"), rand(seed, "a2"))
       val advanced = frontierSide
         .join(adj, frontierSide("curV") === adj("v"))
-        .select(
-          col("walkerId"),
-          (col("step") + 1).as("step"),
-          graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
-            rand(seed, "a1"), rand(seed, "a2")).as("curV"))
+        .select(col("walkerId"), (col("step") + 1).as("step"), sampled.as("curV"))
       // plan truncation per step is safe with carried stats: the frontier
       // plan never self-joins, so stats grow linearly, not exponentially
       // (cf. Iterate)
@@ -324,7 +361,8 @@ object Walk {
       maxSteps: Int,
       p: Double = 1.0,
       q: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portableRng: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val adj = GraphOps.adjacency(edges).toDF()
       .repartition(col("v"))
@@ -342,15 +380,17 @@ object Walk {
       val withAdj = frontier.join(adj, frontier("curV") === adj("v"))
       val withPrev = withAdj
         .join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
+      val firstStep =
+        if (portableRng) inverseCdfSample(col("nbrs"), col("wts"), randP(seed, "s"))
+        else graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
+          rand(seed, "a1"), rand(seed, "a2"))
       val advanced = withPrev.select(
         col("walkerId"),
         (col("step") + 1).as("step"),
-        when(col("prevV").isNull,
-          graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
-            rand(seed, "a1"), rand(seed, "a2")))
+        when(col("prevV").isNull, firstStep)
           .otherwise(
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
-              lit(p), lit(q), rand(seed, "n2v"))).as("curV"),
+              lit(p), lit(q), randSel(portableRng, seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
       frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       history += frontier
@@ -374,7 +414,8 @@ object Walk {
       starts: DataFrame,              // (walkerId, curV)
       schemes: Seq[Seq[Seq[Boolean]]],
       maxSteps: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portableRng: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val adj = edges
       .groupBy(col("src").as("v"))
@@ -385,31 +426,32 @@ object Walk {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
+    // filter the allowed sub-adjacency, then the same capped inverse-CDF
+    // as inverseCdfSample — the form the DuckDB walk oracle replays
+    // index-for-index
     val sample = udf {
       (nbrs: Seq[Long], wts: Seq[Double], etypes: Seq[Int],
        schemeId: Int, step: Int, r: Double) =>
         val scheme = schemesB(schemeId)
         val mask = scheme(step % scheme.length)
-        var total = 0.0
+        val an = scala.collection.mutable.ArrayBuffer[Long]()
+        val aw = scala.collection.mutable.ArrayBuffer[Double]()
         var i = 0
-        val n = nbrs.size
-        val cum = new Array[Double](n)
-        while (i < n) {
+        while (i < nbrs.size) {
           val et = etypes(i)
-          if (et < mask.length && mask(et)) total += wts(i)
-          cum(i) = total
+          if (et < mask.length && mask(et)) { an += nbrs(i); aw += wts(i) }
           i += 1
         }
-        if (total <= 0.0) None
+        if (an.isEmpty) None
         else {
+          var total = 0.0
+          var t = 0
+          while (t < aw.size) { total += aw(t); t += 1 }
           val dart = r * total
+          var cum = 0.0
           var j = 0
-          while (j < n - 1 && cum(j) <= dart) j += 1
-          // cum is non-strictly increasing with plateaus at disallowed
-          // edges; land on the first index whose cumulative exceeds dart
-          // among allowed ones
-          while (j < n - 1 && (etypes(j) >= mask.length || !mask(etypes(j)))) j += 1
-          if (etypes(j) < mask.length && mask(etypes(j))) Some(nbrs(j)) else None
+          while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
+          Some(an(j))
         }
     }
 
@@ -427,7 +469,7 @@ object Walk {
         .join(adj, frontier("curV") === adj("v"))
         .select(col("walkerId"), (col("step") + 1).as("step"),
           sample(col("nbrs"), col("wts"), col("etypes"),
-            col("schemeId"), col("step"), rand(seed, "mp")).as("curV"),
+            col("schemeId"), col("step"), randSel(portableRng, seed, "mp")).as("curV"),
           col("schemeId"))
         .filter(col("curV").isNotNull)
       frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
