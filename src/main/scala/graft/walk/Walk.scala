@@ -104,6 +104,231 @@ object Walk {
       nbrs(j)
     }
 
+  // ------------------------------------------------- generic transitions
+
+  /** Pe — extension (continue) probability per step (reference
+    * extension_comp, include/walk.hpp:204-215). */
+  sealed trait Extension
+  object Extension {
+    /** Pe = 1: truncation at maxSteps only (DeepWalk). */
+    case object Always extends Extension
+    /** Constant continue probability (reference
+      * src/examples/simple_walk.cpp:35-53; PPR's 1-α). */
+    final case class Constant(p: Double) extends Extension
+    /** Per-vertex Pe from a (v, pe) table — vertex-dependent termination
+      * (reference vertex masks / per-vertex extension). */
+    final case class PerVertex(pe: DataFrame) extends Extension
+  }
+
+  /** Ps — static per-edge factor (reference static_comp,
+    * include/walk.hpp:217-231). */
+  sealed trait StaticComp
+  object StaticComp {
+    /** Ps = edge weight (biased walk). */
+    case object EdgeWeight extends StaticComp
+    /** Ps = 1 (unbiased walk over the adjacency structure). */
+    case object Unbiased extends StaticComp
+  }
+
+  /** The reference's first-order TransitionConfig lambda bundle
+    * (include/walk.hpp:196-271) re-expressed for the exact-joins engine:
+    * P(e) ∝ Ps(e) · Pd(state, e), continue with Pe(state). Where the
+    * reference rejection-samples Pd under user-supplied upper bounds
+    * (T4/T5), this engine computes the exact per-candidate distribution
+    * and inverse-CDF samples once — no bounds, no retry loop, identical
+    * distribution.
+    *
+    * @param dynamic Pd(step, curV, dst, edgeWeight) → bias ≥ 0, evaluated
+    *                per candidate edge each step (reference
+    *                src/examples/dynamic_walk.cpp:52-93)
+    */
+  final case class TransitionConfig(
+      extension: Extension = Extension.Always,
+      static: StaticComp = StaticComp.EdgeWeight,
+      dynamic: Option[(Int, Long, Long, Double) => Double] = None)
+
+  /** Second-order bundle (reference SecondOrderTransitionConfig,
+    * include/walk.hpp:273-363): Pd additionally sees the previous vertex
+    * and its sorted neighbour list (the engine answers the reference's
+    * remote state queries T6 with a join).
+    *
+    * @param dynamic2 Pd(step, prevV, prevNbrsSorted, dst, edgeWeight) */
+  final case class SecondOrderConfig(
+      extension: Extension = Extension.Always,
+      static: StaticComp = StaticComp.EdgeWeight,
+      dynamic2: (Int, Long, Seq[Long], Long, Double) => Double)
+
+  /** Exact inverse-CDF draw over user-biased candidate weights. */
+  private def dynSampleUdf(f: (Int, Long, Long, Double) => Double) =
+    udf { (step: Int, curV: Long, nbrs: Seq[Long], wts: Seq[Double],
+           statics: Seq[Double], r: Double) =>
+      val n = nbrs.size
+      val bw = new Array[Double](n)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        bw(i) = statics(i) * f(step, curV, nbrs(i), wts(i))
+        total += bw(i)
+        i += 1
+      }
+      if (total <= 0.0) None
+      else {
+        val dart = r * total
+        var cum = 0.0
+        var j = 0
+        while (j < n - 1 && { cum += bw(j); cum <= dart }) j += 1
+        Some(nbrs(j))
+      }
+    }
+
+  private def dyn2SampleUdf(f: (Int, Long, Seq[Long], Long, Double) => Double) =
+    udf { (step: Int, prevV: Long, prevNbrs: Seq[Long], nbrs: Seq[Long],
+           wts: Seq[Double], statics: Seq[Double], r: Double) =>
+      val n = nbrs.size
+      val bw = new Array[Double](n)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        bw(i) = statics(i) * f(step, prevV, prevNbrs, nbrs(i), wts(i))
+        total += bw(i)
+        i += 1
+      }
+      if (total <= 0.0) None
+      else {
+        val dart = r * total
+        var cum = 0.0
+        var j = 0
+        while (j < n - 1 && { cum += bw(j); cum <= dart }) j += 1
+        Some(nbrs(j))
+      }
+    }
+
+  /** Per-step survival filter for an [[Extension]]; `peCol` is resolved
+    * against the frontier (PerVertex joins its table on curV). */
+  private def applyExtension(
+      frontier: DataFrame, ext: Extension, seed: Long, portable: Boolean): DataFrame =
+    ext match {
+      case Extension.Always => frontier
+      case Extension.Constant(p) =>
+        frontier.filter(randSel(portable, seed, "keep") < p)
+      case Extension.PerVertex(pe) =>
+        frontier
+          .join(broadcast(pe.select(col("v").as("curV"), col("pe"))), Seq("curV"), "left")
+          .filter(randSel(portable, seed, "keep") < coalesce(col("pe"), lit(1.0)))
+          .drop("pe")
+    }
+
+  /** First-order walk under a user [[TransitionConfig]] — the reference's
+    * walk() entry point for arbitrary Pe/Ps/Pd. Same footprint output and
+    * RNG keying as [[firstOrder]]; with the default config this IS
+    * firstOrder (same salts, same alias fast path). */
+  def generic(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      config: TransitionConfig = TransitionConfig(),
+      seed: Long = 42L,
+      portableRng: Boolean = false): DataFrame = {
+    config match {
+      // trivial bundle → the tuned default path
+      case TransitionConfig(Extension.Always, StaticComp.EdgeWeight, None) =>
+        firstOrder(edges, starts, maxSteps, 1.0, seed, None, "walk", portableRng)
+      case TransitionConfig(Extension.Constant(p), StaticComp.EdgeWeight, None) =>
+        firstOrder(edges, starts, maxSteps, p, seed, None, "walk", portableRng)
+      case _ =>
+        val adj = GraphOps.adjacency(edges).toDF()
+          .withColumn("statics", config.static match {
+            case StaticComp.EdgeWeight => col("wts")
+            case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
+          })
+          .repartition(col("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+
+        val sampler: Column = config.dynamic match {
+          case Some(f) =>
+            dynSampleUdf(f)(col("step"), col("curV"), col("nbrs"), col("wts"),
+              col("statics"), randSel(portableRng, seed, "pd"))
+          case None =>
+            inverseCdfSample(col("nbrs"), col("statics"), randSel(portableRng, seed, "s"))
+        }
+
+        var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+        var step = 0
+        var active = frontier.count()
+        while (active > 0 && step < maxSteps) {
+          val alive = applyExtension(frontier, config.extension, seed, portableRng)
+          val side = if (active < LightModeThreshold) broadcast(alive) else alive
+          frontier = side.join(adj, side("curV") === adj("v"))
+            .select(col("walkerId"), (col("step") + 1).as("step"), sampler.as("curV"))
+            .filter(col("curV").isNotNull)
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          history += frontier
+          step += 1
+          active = frontier.count()
+          System.err.println(s"[graft:gwalk] step=$step active=$active")
+        }
+        adj.unpersist(false)
+        history.map(f => f.select(col("walkerId"), col("step"), col("curV").as("vertex")))
+          .reduce(_ unionAll _)
+    }
+  }
+
+  /** Second-order walk under a user [[SecondOrderConfig]]. With the
+    * node2vec bias as `dynamic2` this reproduces [[node2vec]] draw-for-
+    * draw (same salts) — see WalkApiSpec. */
+  def generic2(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      config: SecondOrderConfig,
+      seed: Long = 42L,
+      portableRng: Boolean = false): DataFrame = {
+    val adj = GraphOps.adjacency(edges).toDF()
+      .withColumn("statics", config.static match {
+        case StaticComp.EdgeWeight => col("wts")
+        case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
+      })
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
+
+    val firstStep =
+      if (portableRng) inverseCdfSample(col("nbrs"), col("statics"), randP(seed, "s"))
+      else graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
+        rand(seed, "a1"), rand(seed, "a2"))
+    val dyn = dyn2SampleUdf(config.dynamic2)
+
+    var frontier = starts.select(
+        col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var step = 0
+    var active = frontier.count()
+    while (active > 0 && step < maxSteps) {
+      val alive = applyExtension(frontier, config.extension, seed, portableRng)
+      val withAdj = alive.join(adj, alive("curV") === adj("v"))
+      val withPrev = withAdj.join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
+      frontier = withPrev.select(
+          col("walkerId"),
+          (col("step") + 1).as("step"),
+          when(col("prevV").isNull, firstStep)
+            .otherwise(dyn(col("step"), col("prevV"), col("prevNbrs"), col("nbrs"),
+              col("wts"), col("statics"), randSel(portableRng, seed, "n2v"))).as("curV"),
+          col("curV").as("prevV"))
+        .filter(col("curV").isNotNull)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      history += frontier
+      step += 1
+      active = frontier.count()
+      System.err.println(s"[graft:gwalk2] step=$step active=$active")
+    }
+    adj.unpersist(false)
+    history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
+      .reduce(_ unionAll _)
+  }
+
   /** Walker start vertices: walker i starts at the vertex of dense rank
     * (i mod |V|) — the reference's default equal distribution
     * (include/walk.hpp:403-411). */
