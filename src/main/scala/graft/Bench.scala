@@ -77,6 +77,12 @@ object Bench {
     }
     secs += "node2vec" -> tN2v
 
+    val (_, tN2vChain) = time {
+      Walk.node2vecChained(edges, Walk.equalStarts(edges, 5000L), maxSteps = 6,
+        p = 2.0, q = 0.5).count()
+    }
+    secs += "node2vec_chained" -> tN2vChain
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (_, tLsh) = time { TextOps.minhashLshPairs(docs).count() }
     secs += "minhash_lsh" -> tLsh

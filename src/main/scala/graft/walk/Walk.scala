@@ -515,10 +515,14 @@ object Walk {
     val maxV = edges.agg(greatest(max("src"), max("dst"))).head().getLong(0)
     val rangeSize = math.max(1L, maxV / nBuckets + 1)
 
-    val adjB = GraphOps.adjacency(edges)
+    // persist the bucketed CSR once — the cogroup re-reads it every outer
+    // round, and without the persist each round re-runs the groupBy +
+    // alias-table build
+    val adjDf = GraphOps.adjacency(edges)
       .map(a => (a.v / rangeSize, a))
-      .toDF("bucket", "adj").as[(Long, graft.model.AdjRow)]
-      .groupByKey(_._1)
+      .toDF("bucket", "adj")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
       .as[(Long, Int, Long)].localCheckpoint(true)
@@ -574,6 +578,126 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:chain] outer=$outer active=$active")
     }
+    adjDf.unpersist(false)
+    history.reduce(_ unionAll _)
+  }
+
+  /** Second-order node2vec walk with LOCAL CHAINING — the reference's
+    * biggest node2vec lever (include/walk.hpp:1226-1257; paper Table 5a):
+    * same bucketed cogroup kernel as [[firstOrderChained]], with the
+    * second-order state handled locally. Inside a bucket both curV's
+    * adjacency AND prevV's neighbour set are in the task's CSR map, so a
+    * walker chains many exact biased steps with zero communication; only
+    * bucket-crossers re-shuffle, carrying their `prevNbrs` array (the
+    * reference ships the same state in its walker messages — here it
+    * rides ONLY on crossing rows instead of every per-step join row).
+    * Randomness: deterministic splitmix64 on (seed, walker, step) —
+    * distributionally identical to [[node2vec]], not bit-identical.
+    */
+  def node2vecChained(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      p: Double = 1.0,
+      q: Double = 1.0,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets else math.max(spark.sparkContext.defaultParallelism * 2, 4)
+    val maxV = edges.agg(greatest(max("src"), max("dst"))).head().getLong(0)
+    val rangeSize = math.max(1L, maxV / nBuckets + 1)
+
+    // persist the bucketed CSR once (see firstOrderChained)
+    val adjDf = GraphOps.adjacency(edges)
+      .map(a => (a.v / rangeSize, a))
+      .toDF("bucket", "adj")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+
+    // frontier: (walkerId, step, curV, prevV (-1 = first step), prevNbrs)
+    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+        lit(-1L).as("prevV"), lit(Array.empty[Long]).as("prevNbrs"))
+      .as[(Long, Int, Long, Long, Array[Long])]
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
+
+    var outer = 0
+    var active = frontier.count()
+    while (active > 0 && outer <= maxSteps) {
+      val grouped = frontier.groupByKey(_._3 / rangeSize)
+      val out = grouped.cogroup(adjB) { (bucket, ws, adjIt) =>
+        val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
+        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+        ws.flatMap { case (walkerId, step0, v0, pv0, pn0) =>
+          val rows =
+            scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long, Array[Long], Boolean)]()
+          var step = step0
+          var cur = v0
+          var prev = pv0
+          var prevNbrs = pn0
+          var done = false
+          while (!done && step < maxSteps && cur / rangeSize == bucket) {
+            csr.get(cur) match {
+              case None => done = true // dangling: terminate
+              case Some(a) =>
+                val nxt =
+                  if (prev < 0) { // first step: static alias draw
+                    val n = a.nbrs.length
+                    val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
+                    if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
+                    else a.nbrs(a.alias(i))
+                  } else { // exact biased inverse-CDF (same math as node2vecSample)
+                    val n = a.nbrs.length
+                    val bw = new Array[Double](n)
+                    var total = 0.0
+                    var i = 0
+                    while (i < n) {
+                      val c = a.nbrs(i)
+                      val bias =
+                        if (c == prev) 1.0 / p
+                        else if (java.util.Arrays.binarySearch(prevNbrs, c) >= 0) 1.0
+                        else 1.0 / q
+                      bw(i) = a.wts(i) * bias
+                      total += bw(i)
+                      i += 1
+                    }
+                    val dart = jvmRand(seed, walkerId, step, 4) * total
+                    var cum = 0.0
+                    var j = 0
+                    while (j < n - 1 && { cum += bw(j); cum <= dart }) j += 1
+                    a.nbrs(j)
+                  }
+                prev = cur
+                prevNbrs = a.nbrs
+                step += 1
+                cur = nxt
+                // footprints carry no arrays — only crossers ship prevNbrs
+                rows += ((walkerId, step, cur, -1L, Array.empty[Long], false))
+            }
+          }
+          if (!done && step < maxSteps && cur / rangeSize != bucket)
+            rows += ((walkerId, step, cur, prev, prevNbrs, true))
+          rows
+        }
+      }.toDF("walkerId", "step", "vertex", "prevV", "prevNbrs", "moved")
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+      history += out.filter(!col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex"))
+      frontier = out.filter(col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex").as("curV"),
+          col("prevV"), col("prevNbrs"))
+        .as[(Long, Int, Long, Long, Array[Long])]
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      outer += 1
+      active = frontier.count()
+      System.err.println(s"[graft:n2vchain] outer=$outer active=$active")
+    }
+    adjDf.unpersist(false)
     history.reduce(_ unionAll _)
   }
 

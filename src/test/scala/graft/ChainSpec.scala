@@ -66,6 +66,56 @@ class ChainSpec extends SparkSpec {
     assert(math.abs(mean - 1.0 / (1 - keep)) < 0.3, s"mean=$mean")
   }
 
+  test("chained node2vec is deterministic across parallelism and bucket counts") {
+    val starts = Walk.equalStarts(g, 50)
+    val a = Walk.node2vecChained(g, starts, maxSteps = 4, p = 2.0, q = 0.5, buckets = 2)
+      .orderBy("walkerId", "step").collect().toSeq
+    val b = Walk.node2vecChained(g.repartition(7), starts, maxSteps = 4, p = 2.0, q = 0.5,
+        buckets = 5)
+      .orderBy("walkerId", "step").collect().toSeq
+    assert(a === b)
+  }
+
+  test("chained node2vec second-order frequencies match the exact biased distribution") {
+    val p = 2.0; val q = 0.5
+    val edges = collectEdges(g)
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).sortBy(_._1)).toMap
+    val nbrSet = adj.view.mapValues(_.map(_._1).toSet).toMap
+
+    // exact biased P(next | prev, cur)
+    def expP(prev: Long, cur: Long, nxt: Long): Double = {
+      val cands = adj(cur)
+      val bw = cands.map { case (c, w) =>
+        val b = if (c == prev) 1.0 / p
+          else if (nbrSet.getOrElse(prev, Set.empty).contains(c)) 1.0 else 1.0 / q
+        (c, w * b)
+      }
+      bw.find(_._1 == nxt).map(_._2).getOrElse(0.0) / bw.map(_._2).sum
+    }
+
+    val nV = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val fp = Walk.node2vecChained(g, Walk.equalStarts(g, nV * 3000L),
+      maxSteps = 2, p = p, q = q)
+    val paths = Walk.paths(fp).collect().map(_.getSeq[Long](1)).filter(_.size == 3)
+    val ctxCount = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    val triCount = scala.collection.mutable.Map[(Long, Long, Long), Long]().withDefaultValue(0L)
+    paths.foreach { t =>
+      ctxCount((t(0), t(1))) += 1
+      triCount((t(0), t(1), t(2))) += 1
+    }
+    var sqErr = 0.0
+    var n = 0
+    for (((pv, cv, nv2), c) <- triCount if ctxCount((pv, cv)) >= 200) {
+      val got = c.toDouble / ctxCount((pv, cv))
+      val exp = expP(pv, cv, nv2)
+      sqErr += (got - exp) * (got - exp)
+      n += 1
+    }
+    assert(n > 10, s"too few well-sampled contexts: $n")
+    assert(sqErr / n < 0.002, s"mean sqErr=${sqErr / n} over $n triples")
+  }
+
   test("chaining actually chains on chain-shaped graphs (few outer rounds)") {
     import spark.implicits._
     // one long path graph: all steps should complete in ~1 outer round
