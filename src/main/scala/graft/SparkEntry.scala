@@ -187,10 +187,16 @@ object SparkEntry {
     }),
 
     "q_mm_features" -> ((s, dir) =>
+      // hist_moment recovers the codec's histogram COUNTS exactly from the
+      // normalized float features (counts < 2^24, so round(f*n) is exact)
+      // and takes an index-weighted sum — a discriminative, integer-exact,
+      // DuckDB-replayable check of the whole decode pipeline
       MultiModal.extractFeatures(MultiModal.syntheticAssets(docs(s, dir))).toDF()
         .select(col("asset_id"), col("kind"), col("n_bytes"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")) * 1e4)
-            .cast("long").as("featsum_e4"))
+          aggregate(
+            zip_with(col("features"), sequence(lit(1), size(col("features"))),
+              (f, i) => round(f.cast("double") * col("n_bytes")).cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("hist_moment"))
         .orderBy("asset_id")),
 
     "q_mm_frames" -> ((s, dir) =>
@@ -643,6 +649,43 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
     "q_ann_lsh_topk" -> annLshTopKSql,
 
     "q_deepwalk" -> deepwalkSql,
+
+    // multimodal decode pipeline replay: the synthetic "codec" is a byte
+    // histogram mod 16 over the asset bytes; DuckDB reads the same bytes
+    // (hex of 1-byte blob slices) and reproduces kind, n_bytes and the
+    // index-weighted histogram moment exactly
+    "q_mm_features" ->
+      s"""WITH a AS (
+  SELECT doc_id AS asset_id,
+         (['image', 'audio', 'video'])[CAST((${h64Sql("doc_id || ':kind'")} % 3) + 1 AS INTEGER)] AS kind,
+         encode(text) AS b
+  FROM documents
+), byteval AS (
+  -- DuckDB 1.0: range() takes no correlated args and substring() has no
+  -- BLOB overload, so bytes come from the hex string of the blob (2 hex
+  -- chars per byte) under a fixed bound (documents max ~600 bytes)
+  SELECT asset_id,
+         CAST(('0x' || substr(hex(b), CAST(r.i AS INTEGER) * 2 - 1, 2)) AS INTEGER) % 16 AS bucket
+  FROM a CROSS JOIN range(1, 4097) r(i)
+  WHERE r.i <= octet_length(b)
+), agg AS (
+  SELECT asset_id, SUM(bucket + 1) AS m FROM byteval GROUP BY 1
+)
+SELECT a.asset_id, a.kind, CAST(octet_length(a.b) AS BIGINT) AS n_bytes,
+       CAST(COALESCE(g.m, 0) AS BIGINT) AS hist_moment
+FROM a LEFT JOIN agg g ON a.asset_id = g.asset_id ORDER BY a.asset_id""",
+
+    "q_mm_frames" ->
+      s"""WITH a AS (
+  SELECT doc_id AS asset_id,
+         (['image', 'audio', 'video'])[CAST((${h64Sql("doc_id || ':kind'")} % 3) + 1 AS INTEGER)] AS kind,
+         encode(text) AS b
+  FROM documents
+)
+SELECT asset_id, CAST(r.i / 64 AS INTEGER) AS frame_idx, r.i AS offset
+FROM a CROSS JOIN range(0, 4096, 64) r(i)
+WHERE kind = 'video' AND r.i < octet_length(b)
+ORDER BY asset_id, frame_idx""",
 
     "q_ppr_visits" -> pprSql,
 

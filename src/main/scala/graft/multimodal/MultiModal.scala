@@ -57,18 +57,22 @@ object MultiModal {
   }
 
   /** Synthesize a deterministic asset table from any (id, text) frame —
-    * bytes are the utf-8 payload (an opaque stand-in), kind cycles by
-    * hash, metadata derived from length. */
+    * bytes are the utf-8 payload (an opaque stand-in), kind cycles by a
+    * PORTABLE hash (md5-derived h64, so the DuckDB oracle reproduces the
+    * kind assignment and with it the whole decode pipeline), metadata
+    * derived from length. */
   def syntheticAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    def h(salt: String) =
+      graft.text.TextOps.h64(concat_ws(":", col("doc_id"), lit(salt)))
     docs.select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(xxhash64(col("doc_id"), lit("kind")), lit(3)) + 1).cast("int")).as("kind"),
+          (pmod(h("kind"), lit(3)) + 1).cast("int")).as("kind"),
         encode(col("text"), "utf-8").as("bytes"),
-        (pmod(xxhash64(col("doc_id"), lit("w")), lit(1920)) + 16).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit("h")), lit(1080)) + 16).cast("int").as("height"),
+        (pmod(h("w"), lit(1920)) + 16).cast("int").as("width"),
+        (pmod(h("h"), lit(1080)) + 16).cast("int").as("height"),
         (length(col("text")) * 40L).as("duration_ms"))
       .as[Asset]
   }
