@@ -368,6 +368,15 @@ object Walk {
     * comm threads when active < 4000, include/walk.hpp:934). */
   val LightModeThreshold = 4096L
 
+  /** Frontier size below which the chained kernels semi-join the CSR
+    * side down to the buckets that still hold walkers (exactly the rows
+    * the kernel can read) instead of re-shuffling the whole adjacency.
+    * Only worth its two extra small jobs per round when the CSR is big
+    * ([[BucketPruneMinAdj]]) — on toy graphs the full shuffle is cheaper
+    * than the pruning plan. */
+  val BucketPruneThreshold = 100000L
+  val BucketPruneMinAdj = 1000000L
+
   /** First-order walk (DeepWalk `keepProb=1`, PPR `maxSteps` large &
     * `keepProb=1-α`). Returns footprints (walkerId, step, vertex) with
     * step 0 = start vertex.
@@ -517,11 +526,13 @@ object Walk {
 
     // persist the bucketed CSR once — the cogroup re-reads it every outer
     // round, and without the persist each round re-runs the groupBy +
-    // alias-table build
+    // alias-table build (the count also materializes it and gates tail
+    // bucket pruning)
     val adjDf = GraphOps.adjacency(edges)
       .map(a => (a.v / rangeSize, a))
       .toDF("bucket", "adj")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = adjDf.count()
     val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
@@ -534,10 +545,23 @@ object Walk {
     var active = frontier.count()
     while (active > 0 && outer <= maxSteps) {
       val grouped = frontier.groupByKey(_._3 / rangeSize)
+      // tail rounds: the kernel only ever reads CSR rows of the buckets
+      // its walkers are currently in, so once the frontier is small the
+      // CSR side is semi-joined down to those buckets instead of
+      // re-shuffling the whole adjacency for a handful of walkers (the
+      // round-2+ tail used to cost as much as round 1)
+      val adjRound =
+        if (active < BucketPruneThreshold && adjCount >= BucketPruneMinAdj) {
+          val bks = frontier.toDF("walkerId", "step", "curV")
+            .select(floor(col("curV") / lit(rangeSize)).cast("long").as("bucket"))
+            .distinct()
+          adjDf.join(broadcast(bks), "bucket")
+            .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+        } else adjB
       // output rows: (walkerId, step, vertex, moved) — moved=false rows
       // are footprints of chained steps; moved=true rows are walkers
       // parked at a vertex OUTSIDE this bucket (next frontier)
-      val out = grouped.cogroup(adjB) { (bucket, ws, adjIt) =>
+      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
         val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
         adjIt.foreach { case (_, a) => csr.update(a.v, a) }
         ws.flatMap { case (walkerId, step0, v0) =>
@@ -614,6 +638,7 @@ object Walk {
       .map(a => (a.v / rangeSize, a))
       .toDF("bucket", "adj")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = adjDf.count()
     val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
 
     // frontier: (walkerId, step, curV, prevV (-1 = first step), prevNbrs)
@@ -629,7 +654,16 @@ object Walk {
     var active = frontier.count()
     while (active > 0 && outer <= maxSteps) {
       val grouped = frontier.groupByKey(_._3 / rangeSize)
-      val out = grouped.cogroup(adjB) { (bucket, ws, adjIt) =>
+      // tail bucket pruning — see firstOrderChained
+      val adjRound =
+        if (active < BucketPruneThreshold && adjCount >= BucketPruneMinAdj) {
+          val bks = frontier.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+            .select(floor(col("curV") / lit(rangeSize)).cast("long").as("bucket"))
+            .distinct()
+          adjDf.join(broadcast(bks), "bucket")
+            .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+        } else adjB
+      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
         val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
         adjIt.foreach { case (_, a) => csr.update(a.v, a) }
         ws.flatMap { case (walkerId, step0, v0, pv0, pn0) =>

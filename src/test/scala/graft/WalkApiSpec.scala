@@ -103,6 +103,37 @@ class WalkApiSpec extends SparkSpec {
     assert(atOne.nonEmpty)
   }
 
+  test("reference simple_walk constants: Pe = 0.875 survival ratio") {
+    // src/examples/simple_walk.cpp:35-53 uses a constant extension 0.875
+    val edges = fanGraph
+    val fp = Walk.generic(edges, startsAt(0L, 40000), maxSteps = 6,
+      TransitionConfig(Extension.Constant(0.875), StaticComp.Unbiased), seed = 14)
+    val byStep = fp.groupBy("step").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 3).foreach { s =>
+      val ratio = byStep(s).toDouble / byStep(s - 1)
+      assert(math.abs(ratio - 0.875) < 0.02, s"step$s ratio=$ratio")
+    }
+  }
+
+  test("reference dynamic_walk constants: return-edge x2 (ub = 2)") {
+    // src/examples/dynamic_walk.cpp:52-93 doubles the probability of the
+    // edge returning to the walker's previous vertex; the walker state it
+    // tracks by hand is our second-order prevV
+    val edges = fanGraph
+    val cfg = SecondOrderConfig(
+      static = StaticComp.Unbiased,
+      dynamic2 = (_, prevV, _, dst, _) => if (dst == prevV) 2.0 else 1.0)
+    val fp = Walk.generic2(edges, startsAt(1L, 30000), maxSteps = 2, cfg, seed = 15)
+    // step 0: 1 -> 0 (only edge). step 1 at vertex 0 with prevV = 1:
+    // biases 2,1,1 over nbrs {1,2,3} -> P = 1/2, 1/4, 1/4
+    val f = firstStepFreq(fp.filter(col("step") >= 1)
+      .withColumn("step", col("step") - 1))
+    assert(math.abs(f(1L) - 0.5) < 0.02, s"return ${f(1L)}")
+    assert(math.abs(f(2L) - 0.25) < 0.02)
+    assert(math.abs(f(3L) - 0.25) < 0.02)
+  }
+
   test("generic with default config == firstOrder (same salts, same draws)") {
     val edges = randomEdges(vNum = 50, eNum = 200, seed = 31)
     val starts = Walk.equalStarts(edges, 300)
