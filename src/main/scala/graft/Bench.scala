@@ -21,7 +21,9 @@ object Bench {
       prIters: Int,
       prSec: Double,
       walkSteps: Long,
-      walkSec: Double)
+      walkSec: Double,
+      ccIters: Int,
+      ccConverged: Boolean)
 
   def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -47,6 +49,8 @@ object Bench {
     secs += "pagerank_conv" -> tPr
 
     val (_, tCc) = time { Components.run(edges).count() }
+    val ccIters = Iterate.lastIterations
+    val ccConverged = Iterate.lastConverged
     secs += "cc" -> tCc
 
     val (_, tLpa) = time { LabelProp.run(edges, iters = 3).count() }
@@ -93,7 +97,7 @@ object Bench {
     }
     secs += "ann_topk" -> tAnn
 
-    Result(secs, eCount, prIters, tPr, chainSteps, tChain)
+    Result(secs, eCount, prIters, tPr, chainSteps, tChain, ccIters, ccConverged)
   }
 
   def session(cpus: String): SparkSession = session(cpus, cpus.toInt)
@@ -129,7 +133,7 @@ object Bench {
     val edgesPerSec = r.edges.toDouble * r.prIters / r.prSec
     val stepsPerSec = r.walkSteps / r.walkSec
     println(
-      f"""{"metric":"edges_per_sec_pagerank","value":$edgesPerSec%.0f,"unit":"edges/sec","queries":$qs,"sf":"$sfDir","total_sec":$total%.2f,"edges":${r.edges},"pagerank_iters":${r.prIters},"pagerank_conv_sec":${r.prSec}%.2f,"walk_steps_per_sec":$stepsPerSec%.0f,"cpus":"$cpus"}""")
+      f"""{"metric":"edges_per_sec_pagerank","value":$edgesPerSec%.0f,"unit":"edges/sec","queries":$qs,"sf":"$sfDir","total_sec":$total%.2f,"edges":${r.edges},"pagerank_iters":${r.prIters},"pagerank_conv_sec":${r.prSec}%.2f,"walk_steps_per_sec":$stepsPerSec%.0f,"cc_iters":${r.ccIters},"cc_converged":${r.ccConverged},"cpus":"$cpus"}""")
     spark.stop()
   }
 }

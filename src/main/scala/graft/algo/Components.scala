@@ -90,7 +90,8 @@ object Components {
       // count — min-aggregation is duplicate-insensitive and small-star
       // naturally contracts duplicated star edges, so the multiset stays
       // bounded by |E| and dedup buys nothing but a shuffle
-      smallDedup: Boolean = false): DataFrame = {
+      smallDedup: Boolean = false,
+      memTruncate: Boolean = false): DataFrame = {
     val verts = GraphOps.vertices(edges)
 
     val state0 = edges
@@ -112,7 +113,7 @@ object Components {
       pf == nf
     }
 
-    val stars = Iterate.run(runName, state0, step, converged, maxIter, None, store)
+    val stars = Iterate.run(runName, state0, step, converged, maxIter, None, store, memTruncate)
     if (strict && !Iterate.lastConverged)
       throw new IllegalStateException(
         s"[graft:$runName] connected components did not reach the star fixpoint in $maxIter rounds")

@@ -111,7 +111,8 @@ object Iterate {
       converged: (DataFrame, DataFrame, Int) => Boolean = (_, _, _) => false,
       maxIter: Int = 100,
       fixedIter: Option[Int] = None,
-      store: Option[CheckpointStore] = None): DataFrame = {
+      store: Option[CheckpointStore] = None,
+      memTruncate: Boolean = false): DataFrame = {
 
     // Plan truncation MUST also reset plan statistics, not just lineage:
     // localCheckpoint's LogicalRDD carries the *estimated* stats of the
@@ -145,8 +146,22 @@ object Iterate {
         } catch { case _: Throwable => () }))
       new CheckpointStore(dir.toString, state0.sparkSession)
     }
+    // memTruncate: serialized in-memory truncation — persist+count gives
+    // real InMemoryRelation stats, localCheckpoint(SER) then cuts the tree
+    // inheriting them, and the cache is dropped. No disk (and no serial
+    // parquet-commit segment) in the loop; the state lives as serialized
+    // spillable blocks. Off by default: at bench scale it ties with the
+    // temp-parquet path, and disk-backed states resist executor-memory
+    // pressure better at 100 TB.
     def truncate(df: DataFrame, iter: Int): DataFrame = store match {
       case Some(s) => s.save(name, iter, df)
+      case None if memTruncate =>
+        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val cached = df.persist(ser)
+        cached.count()
+        val cut = cached.localCheckpoint(true, ser)
+        cached.unpersist(false)
+        cut
       case None => tmpStore.saveNoLineage(name, iter, df)
     }
 
