@@ -68,4 +68,19 @@ object TranscriptStream {
     * memory-sink tests and foreachBatch merges. */
   def edgeCounts(events: Dataset[EdgeEvent]): DataFrame =
     events.groupBy("src", "dst").agg(sum("w").cast("double").as("weight"))
+
+  /** Watermarked per-window turn rates: the standard event-time windowed
+    * aggregation over the transcript stream (turns/window per role),
+    * append-mode — state for a window is dropped once the watermark
+    * passes `lateness` behind max event time, so it is bounded at any
+    * input rate. */
+  def turnRates(
+      turns: DataFrame,               // needs (ts TIMESTAMP, role STRING)
+      windowLen: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("role"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("window.start").as("win_start"), col("role"), col("n_turns"))
 }

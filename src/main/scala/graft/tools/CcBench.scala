@@ -15,7 +15,9 @@ object CcBench {
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.length > 0) args(0).toLong else 300000L
     val variants = if (args.length > 1) args.drop(1).toSeq else Seq("dedup", "nodedup")
-    val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus).toInt
+    val spark = graft.Bench.session(cpus, parts)
     spark.sparkContext.setLogLevel("WARN")
     val edges = Derive.edges(Derive.withDenseVid(Synth.transcripts(spark, nConvs)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -70,4 +70,37 @@ class StreamSpec extends SparkSpec {
     val t2 = TranscriptStream.advance(t1._1, Seq(TurnEvent("c", 2, "user", None, 12)))
     assert(t2._2.toSet === Set(EdgeEvent(11, 12, 1), EdgeEvent(11, 12, 2), EdgeEvent(10, 12, 1)))
   }
+  test("watermarked windowed turn rates: windows finalize, late rows drop") {
+    implicit val sql = spark.sqlContext
+    import java.sql.Timestamp
+    def t(min: Int, sec: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = TranscriptStream.turnRates(mem.toDF().toDF("ts", "role"),
+      windowLen = "1 minute", lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    try {
+      mem.addData((t(0, 10), "user"), (t(0, 20), "assistant"),
+        (t(0, 40), "user"), (t(1, 10), "user"))
+      q.processAllAvailable()
+      mem.addData((t(5, 0), "user")) // watermark -> 10:04: 10:00/10:01 finalize
+      q.processAllAvailable()
+      mem.addData((t(0, 50), "user")) // LATE: beyond watermark, must be dropped
+      q.processAllAvailable()
+      mem.addData((t(12, 0), "user")) // watermark -> 11:11: 10:05 finalizes
+      q.processAllAvailable()
+
+      val rows = spark.table("rates").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "user", 2L)), s"rows=$rows")
+      assert(rows.contains(("2026-01-01 10:00:00.0", "assistant", 1L)))
+      assert(rows.contains(("2026-01-01 10:01:00.0", "user", 1L)))
+      assert(rows.contains(("2026-01-01 10:05:00.0", "user", 1L)))
+      // the late 10:00:50 row must not have produced any extra/duplicate
+      // emission for the already-finalized 10:00 window
+      assert(rows.count(_._1.startsWith("2026-01-01 10:00")) === 2)
+    } finally q.stop()
+  }
+
 }
