@@ -745,19 +745,44 @@ object Walk {
       p: Double = 1.0,
       q: Double = 1.0,
       seed: Long = 42L,
-      portableRng: Boolean = false): DataFrame = {
+      portableRng: Boolean = false,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "n2v"): DataFrame = {
     val spark = edges.sparkSession
     val adj = GraphOps.adjacency(edges).toDF()
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
 
-    var frontier = starts.select(
-        col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
-      .localCheckpoint(true)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    def truncate(df: DataFrame, step: Int): DataFrame = store match {
+      case Some(s) => s.save(runName, step, df)
+      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    // mid-walk resume: the per-step frontier snapshots carry prevV, so a
+    // re-run with the same store continues the second-order walk exactly
+    // (randomness keys on (seed, walkerId, step) only)
+    val resumed: Seq[(Int, DataFrame)] = store match {
+      case Some(s) => s.latest(runName) match {
+        case Some((hi, _)) =>
+          (0 to hi).map(i => (i, spark.read.parquet(s.iterPath(runName, i))))
+        case None => Seq.empty
+      }
+      case None => Seq.empty
+    }
 
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var step = 0
+    var frontier: DataFrame = null
+    if (resumed.nonEmpty) {
+      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
+      System.err.println(s"[graft:$runName] resumed at step=$step")
+    } else {
+      frontier = truncate(starts.select(
+        col("walkerId"), lit(0).as("step"), col("curV"),
+        lit(null).cast("long").as("prevV")), 0)
+      history += frontier
+    }
+
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
       val withAdj = frontier.join(adj, frontier("curV") === adj("v"))
@@ -775,11 +800,11 @@ object Walk {
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
               lit(p), lit(q), randSel(portableRng, seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
-      frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      frontier = truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
-      System.err.println(s"[graft:n2v] step=$step active=$active")
+      System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     adj.unpersist(false)
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))

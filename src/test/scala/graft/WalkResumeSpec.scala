@@ -36,6 +36,20 @@ class WalkResumeSpec extends SparkSpec {
     assert(hi === 8)
   }
 
+  test("second-order walk resumes mid-run bitwise-identically (prevV state persisted)") {
+    val edges = randomEdges(vNum = 50, eNum = 250, seed = 9)
+    val starts = Walk.equalStarts(edges, 80)
+    val full = fpSet(Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 17))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-n2v-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    Walk.node2vec(edges, starts, maxSteps = 2, p = 2.0, q = 0.5, seed = 17,
+      store = Some(store), runName = "n2v")
+    val resumed = fpSet(Walk.node2vec(edges, starts, maxSteps = 6, p = 2.0, q = 0.5, seed = 17,
+      store = Some(store), runName = "n2v"))
+    assert(resumed === full)
+  }
+
   test("portable-RNG walk is deterministic and matches the fast variant's shape") {
     val edges = randomEdges(vNum = 40, eNum = 160, seed = 5)
     val starts = Walk.equalStarts(edges, 50)
