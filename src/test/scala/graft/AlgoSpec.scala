@@ -66,6 +66,27 @@ class AlgoSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("CC converges on adversarially-ordered paths (the r1 pointer-jump pathology)") {
+    // a pure path whose vertex ids are randomly permuted along it: the
+    // round-1 min-label+pointer-jump recurrence needed >300 rounds here
+    // and silently hit maxIter; large-star/small-star must converge well
+    // inside the cap on every seed
+    import spark.implicits._
+    Seq(1, 7, 23).foreach { seed =>
+      val n = 600
+      val perm = new scala.util.Random(seed).shuffle((0L until n.toLong).toVector)
+      val edges = perm.sliding(2).map(p => (p(0), p(1), 1.0)).toSeq
+        .toDF("src", "dst", "weight")
+      val got = Components.run(edges, runName = s"cc-adv-$seed")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(graft.engine.Iterate.lastConverged)
+      assert(graft.engine.Iterate.lastIterations <= 25,
+        s"seed=$seed took ${graft.engine.Iterate.lastIterations} rounds")
+      assert(got.size === n && got.values.forall(_ == 0L || got.values.min == 0L))
+      assert(got.values.toSet.size === 1, "a single path must be one component")
+    }
+  }
+
   test("LPA matches reference driver implementation (3 iters, smallest-label ties)") {
     val df = randomEdges(vNum = 60, eNum = 240, seed = 5)
     val got = LabelProp.run(df, iters = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
