@@ -25,6 +25,13 @@ object SparkEntry {
   def eventEdges(spark: SparkSession, sfDir: String): DataFrame =
     Derive.edges(Synth.eventsAsTranscripts(spark, sfDir))
 
+  /** Iteration count at which the most recent q_pagerank_conv run
+    * converged — makes the adaptive-stopping query's oracle SQL-
+    * expressible after the Spark side has run ([[oracleSql]] then emits
+    * the same fixed count unrolled; Verify re-dumps oracle_sql.json after
+    * the queries for exactly this). */
+  @volatile var lastPagerankConvIters: Option[Int] = None
+
   /** Flagship query on /root/testdata/sf0.001: PageRank over the
     * transcript-derived link graph, top-20 vertices. */
   def entry(spark: SparkSession): DataFrame = {
@@ -52,12 +59,19 @@ object SparkEntry {
         .select(col("v"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
         .orderBy("v")),
 
-    "q_pagerank_conv" -> ((s, dir) =>
-      // to convergence (north-rule tolerance 1e-6); no SQL oracle —
-      // convergence-checked in ScalaTest against dense power iteration
-      PageRank.run(eventEdges(s, dir), tol = 1e-6, maxIter = 60)
+    "q_pagerank_conv" -> ((s, dir) => {
+      // to convergence (north-rule tolerance 1e-6). PageRank.run executes
+      // its iterations eagerly, so the adaptive stopping point is known
+      // HERE — capture it and the oracle becomes SQL-expressible after
+      // the fact: Verify re-dumps oracle_sql.json with the identical
+      // fixed-iteration unrolled-CTE replay (also convergence-checked in
+      // ScalaTest against dense power iteration)
+      val out = PageRank.run(eventEdges(s, dir), tol = 1e-6, maxIter = 60)
         .select(col("v"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
-        .orderBy("v")),
+        .orderBy("v")
+      lastPagerankConvIters = Some(graft.engine.Iterate.lastIterations)
+      out
+    }),
 
     "q_cc_conv" -> ((s, dir) =>
       Components.run(Derive.successionEdges(Synth.eventsAsTranscripts(s, dir)))
@@ -188,14 +202,17 @@ object SparkEntry {
 
     "q_mm_features" -> ((s, dir) =>
       // hist_moment recovers the codec's histogram COUNTS exactly from the
-      // normalized float features (counts < 2^24, so round(f*n) is exact)
-      // and takes an index-weighted sum — a discriminative, integer-exact,
-      // DuckDB-replayable check of the whole decode pipeline
+      // normalized float features (counts < 2^24, so round(f*n_units) is
+      // exact) and takes an index-weighted sum — a discriminative,
+      // integer-exact, DuckDB-replayable check of the whole decode
+      // pipeline. Image assets are REAL PNGs decoded by javax.imageio;
+      // the oracle replays the deterministic pixel generator and the
+      // closed-form PNG byte count instead of decoding.
       MultiModal.extractFeatures(MultiModal.syntheticAssets(docs(s, dir))).toDF()
-        .select(col("asset_id"), col("kind"), col("n_bytes"),
+        .select(col("asset_id"), col("kind"), col("n_bytes"), col("n_units"),
           aggregate(
             zip_with(col("features"), sequence(lit(1), size(col("features"))),
-              (f, i) => round(f.cast("double") * col("n_bytes")).cast("long") * i.cast("long")),
+              (f, i) => round(f.cast("double") * col("n_units")).cast("long") * i.cast("long")),
             lit(0L), (a, x) => a + x).as("hist_moment"))
         .orderBy("asset_id")),
 
@@ -334,9 +351,13 @@ SELECT v, MIN(l) AS comp FROM reach GROUP BY v ORDER BY v"""
     * exceeds r·total, capped at the last element (range end is exclusive,
     * so j only runs to n-1 — identical cap to the Spark loop). Exact
     * because edge weights are integer-valued (prefix sums have no float-
-    * order ambiguity) and r·total is a single IEEE multiplication. */
+    * order ambiguity) and r·total is a single IEEE multiplication. A
+    * non-positive total terminates the walker (NULL) — the twin of the
+    * Spark sampler's zero-weight guard (never fires on this data: derived
+    * edge weights are >= 1). */
   private def pickSql(nbrs: String, wts: String, r: String): String =
-    s"$nbrs[1 + len(list_filter(range(1, len($wts)), j -> list_sum(list_slice($wts, 1, j)) <= ($r) * list_sum($wts)))]"
+    s"(CASE WHEN COALESCE(list_sum($wts), 0) <= 0 THEN NULL " +
+      s"ELSE $nbrs[1 + len(list_filter(range(1, len($wts)), j -> list_sum(list_slice($wts, 1, j)) <= ($r) * list_sum($wts)))] END)"
 
   private def equalStartsCte(nWalkers: Int): String =
     s""", starts AS MATERIALIZED (
@@ -650,30 +671,46 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
 
     "q_deepwalk" -> deepwalkSql,
 
-    // multimodal decode pipeline replay: the synthetic "codec" is a byte
-    // histogram mod 16 over the asset bytes; DuckDB reads the same bytes
-    // (hex of 1-byte blob slices) and reproduces kind, n_bytes and the
-    // index-weighted histogram moment exactly
+    // multimodal decode pipeline replay. Image assets: the Spark side
+    // REALLY decodes PNG bytes with javax.imageio — the oracle replays
+    // the deterministic pixel GENERATOR (pixel i = h64(id:px:i) mod 256)
+    // and the closed-form stored-deflate PNG length 68 + h*(w+1)
+    // (Png.expectedLength; PNG is lossless, so decoder histogram ==
+    // generator histogram). Audio/video: the stub codec's byte histogram
+    // replayed from the blob's hex string (DuckDB 1.0: range() takes no
+    // correlated args and substring() has no BLOB overload).
     "q_mm_features" ->
       s"""WITH a AS (
   SELECT doc_id AS asset_id,
          (['image', 'audio', 'video'])[CAST((${h64Sql("doc_id || ':kind'")} % 3) + 1 AS INTEGER)] AS kind,
          encode(text) AS b
   FROM documents
+), dims AS (
+  SELECT asset_id, kind, b,
+         CAST(4 + (${h64Sql("asset_id || ':iw'")} % 12) AS INTEGER) AS w,
+         CAST(4 + (${h64Sql("asset_id || ':ih'")} % 12) AS INTEGER) AS h
+  FROM a
+), px AS (
+  SELECT asset_id,
+         CAST((${h64Sql("asset_id || ':px:' || r.i")} % 256) % 16 AS INTEGER) AS bucket
+  FROM dims CROSS JOIN range(0, 256) r(i)
+  WHERE kind = 'image' AND r.i < w * h
 ), byteval AS (
-  -- DuckDB 1.0: range() takes no correlated args and substring() has no
-  -- BLOB overload, so bytes come from the hex string of the blob (2 hex
-  -- chars per byte) under a fixed bound (documents max ~600 bytes)
   SELECT asset_id,
          CAST(('0x' || substr(hex(b), CAST(r.i AS INTEGER) * 2 - 1, 2)) AS INTEGER) % 16 AS bucket
-  FROM a CROSS JOIN range(1, 4097) r(i)
-  WHERE r.i <= octet_length(b)
+  FROM dims CROSS JOIN range(1, 4097) r(i)
+  WHERE kind <> 'image' AND r.i <= octet_length(b)
 ), agg AS (
-  SELECT asset_id, SUM(bucket + 1) AS m FROM byteval GROUP BY 1
+  SELECT asset_id, SUM(bucket + 1) AS m
+  FROM (SELECT * FROM px UNION ALL SELECT * FROM byteval) GROUP BY 1
 )
-SELECT a.asset_id, a.kind, CAST(octet_length(a.b) AS BIGINT) AS n_bytes,
+SELECT d.asset_id, d.kind,
+       CAST(CASE WHEN d.kind = 'image' THEN 68 + d.h * (d.w + 1)
+                 ELSE octet_length(d.b) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN d.kind = 'image' THEN d.w * d.h
+                 ELSE octet_length(d.b) END AS BIGINT) AS n_units,
        CAST(COALESCE(g.m, 0) AS BIGINT) AS hist_moment
-FROM a LEFT JOIN agg g ON a.asset_id = g.asset_id ORDER BY a.asset_id""",
+FROM dims d LEFT JOIN agg g ON d.asset_id = g.asset_id ORDER BY d.asset_id""",
 
     "q_mm_frames" ->
       s"""WITH a AS (
@@ -692,7 +729,7 @@ ORDER BY asset_id, frame_idx""",
     "q_node2vec" -> node2vecSql,
 
     "q_metapath" -> metapathSql,
-  )
+  ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))
 
   /** DuckDB twin of [[TextOps.h64]] — applied as `h64Sql(expr)`. */
   private def h64Sql(e: String): String =

@@ -27,10 +27,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    def dumpOracle(): Unit = {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
     // oracle json first: it must exist even if a query below dies
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    dumpOracle()
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -42,6 +45,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // re-dump: queries whose oracle is only SQL-expressible after the
+    // Spark side ran (q_pagerank_conv's adaptive iteration count) have
+    // registered their entries during the loop above
+    dumpOracle()
     spark.stop()
   }
 }

@@ -24,7 +24,10 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
 
-  /** Global triangle count: 1 row, 1 column `triangles`. */
+  /** Global triangle count: 1 row, 1 column `triangles`. The result is
+    * materialized eagerly (it is one row / |V| rows) so the oriented edge
+    * cache can be released before returning — r2 leaked one persisted
+    * edge set per call. */
   def count(edges: DataFrame): DataFrame = {
     val e = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = e.as("e1")
@@ -33,6 +36,8 @@ object Triangles {
     val tri = wedges
       .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+      .localCheckpoint(true)
+    e.unpersist(false)
     tri
   }
 
@@ -43,8 +48,11 @@ object Triangles {
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
       .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
-    tris.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+    val out = tris.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
   }
 }

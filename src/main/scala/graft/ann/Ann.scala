@@ -56,9 +56,17 @@ object Ann {
     * planes or they all produce identical buckets). */
   def lshBucket(embedding: Column, nPlanes: Int, planeOffset: Int, dim: Int): Column = {
     val planes = planeMatrix(nPlanes, planeOffset, dim)
+    // fail loudly on a length mismatch: zip_with would silently pad with
+    // nulls, every sign bit would read 0, and ALL vectors would land in
+    // one bucket per table — LSH degenerating to an n² all-pairs join
+    // (still correct after rescoring, quadratically slower)
+    val checked = when(size(embedding) === dim, embedding)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: embedding length != $dim (got "),
+        size(embedding).cast("string"), lit(")"))))
     planes.zipWithIndex.map { case (row, p) =>
       val dotP = aggregate(
-        zip_with(embedding, typedlit(row.toSeq), (x, c) => x.cast("double") * c),
+        zip_with(checked, typedlit(row.toSeq), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -82,6 +82,26 @@ object Iterate {
         .agg((max("rows") / avg("rows")).as("skewMaxOverAvg"))
   }
 
+  /** Temp checkpoint dirs of non-durable runs, swept by ONE JVM shutdown
+    * hook (a long-lived session used to register a fresh hook — plus the
+    * surviving last-two-iterations dir pair — per run() call). */
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val sweeperInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { dir =>
+        try {
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      }))
+  private def registerTempDir(dir: java.nio.file.Path): Unit = {
+    sweeperInstalled
+    tempDirs.add(dir)
+    ()
+  }
+
   /** Iteration count of the most recent [[run]] on this driver (bench
     * metric plumbing; driver-side single-threaded use only). */
   @volatile var lastIterations: Int = 0
@@ -136,14 +156,9 @@ object Iterate {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-iter-").toAbsolutePath
       // the last two snapshots outlive run() (callers consume the returned
-      // DataFrame lazily); reclaim them at JVM exit rather than leaking
-      // one directory pair per run
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          java.nio.file.Files.walk(dir)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Throwable => () }))
+      // DataFrame lazily); register the dir with the single process-wide
+      // sweeper — one hook per JVM, not one per run()
+      registerTempDir(dir)
       new CheckpointStore(dir.toString, state0.sparkSession)
     }
     // memTruncate: serialized in-memory truncation — persist+count gives

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The Spark-side plumbing (schema, batched per-partition processing,
-  * deterministic partitioning, output shapes) is real and tested; the
-  * actual codecs are NOT available in this container, so the decode step
-  * is a clearly-marked deterministic stub ([[StubCodec]]) behind the
-  * [[Codec]] interface — swap in a real JNI/FFmpeg-backed codec at
-  * deployment without touching the pipeline.
+  * The image path is REAL end-to-end: [[syntheticAssets]] emits valid
+  * deterministic PNGs ([[Png]]) and [[DefaultCodec]] decodes them with
+  * the JDK's javax.imageio decoder — pixels, dimensions and histograms
+  * come from an actual decode of actual image bytes. Audio/video codecs
+  * are NOT available in this container, so those kinds keep the clearly-
+  * marked deterministic [[StubCodec]] behind the same [[Codec]] interface
+  * — swap in a JNI/FFmpeg-backed codec at deployment without touching
+  * the pipeline.
   */
 object MultiModal {
 
@@ -27,8 +29,9 @@ object MultiModal {
   final case class Features(
       asset_id: Long,
       kind: String,
-      n_bytes: Long,
-      features: Array[Float])   // fixed-length feature vector
+      n_bytes: Long,            // encoded size (PNG bytes for images)
+      n_units: Long,            // decoded units: pixels (image) / bytes
+      features: Array[Float])   // histogram over units, L1-normalized
 
   final case class Frame(
       asset_id: Long,
@@ -36,31 +39,60 @@ object MultiModal {
       offset: Long,
       frame_bytes: Array[Byte])
 
-  /** Pluggable decode step. Real implementations would wrap an image /
-    * audio / video library; not present in this container. */
+  /** Pluggable decode step.
+    * @return (features, nUnits): the `dim`-bucket histogram normalized by
+    *         nUnits = the decoded unit count (pixels for images, bytes
+    *         otherwise) — counts are exactly recoverable as
+    *         round(f·nUnits) while counts < 2^24. */
   trait Codec extends Serializable {
-    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): (Array[Float], Long)
   }
 
   /** STUB codec — deterministic fake decode: a byte-histogram folded to
-    * `dim` buckets and L1-normalized. Stands in for the real decoder
-    * (``???`` at deployment boundaries); keeps every pipeline test and
+    * `dim` buckets and L1-normalized. Stands in for the real audio/video
+    * decoders (absent in this container); keeps every pipeline test and
     * batch-shape property real. */
   object StubCodec extends Codec {
-    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): (Array[Float], Long) = {
       val acc = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) { acc((bytes(i) & 0xFF) % dim) += 1f; i += 1 }
       val total = math.max(1f, bytes.length.toFloat)
-      acc.map(_ / total)
+      (acc.map(_ / total), bytes.length.toLong)
     }
   }
 
-  /** Synthesize a deterministic asset table from any (id, text) frame —
-    * bytes are the utf-8 payload (an opaque stand-in), kind cycles by a
-    * PORTABLE hash (md5-derived h64, so the DuckDB oracle reproduces the
-    * kind assignment and with it the whole decode pipeline), metadata
-    * derived from length. */
+  /** Production-shape codec: image bytes go through a REAL decoder
+    * (javax.imageio — PNG needs no external jars); the histogram is over
+    * decoded PIXELS, normalized by pixel count. Audio/video fall back to
+    * [[StubCodec]] until a real decoder is wired at deployment. */
+  object DefaultCodec extends Codec {
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): (Array[Float], Long) =
+      if (kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "image bytes not decodable by ImageIO")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val acc = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { acc(raster.getSample(x, y, 0) % dim) += 1f; x += 1 }
+          y += 1
+        }
+        val n = math.max(1, w * h)
+        (acc.map(_ / n), (w.toLong * h))
+      } else StubCodec.decodeFeatures(kind, bytes, dim)
+  }
+
+  /** Synthesize a deterministic asset table from any (id, text) frame.
+    * Kind cycles by a PORTABLE hash (md5-derived h64, so the DuckDB
+    * oracle reproduces the assignment). Image-kind assets are REAL PNGs:
+    * w, h ∈ [4, 15] and each gray pixel i = h64(id:px:i) mod 256 — all
+    * md5-derived, so the oracle replays the decoded pixel stream and the
+    * closed-form PNG byte count ([[Png.expectedLength]]) without needing
+    * a PNG codec. Audio/video bytes are the utf-8 payload (opaque
+    * stand-in). */
   def syntheticAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -75,18 +107,28 @@ object MultiModal {
         (pmod(h("h"), lit(1080)) + 16).cast("int").as("height"),
         (length(col("text")) * 40L).as("duration_ms"))
       .as[Asset]
+      .map { a =>
+        if (a.kind == "image") {
+          import graft.text.TextOps.h64jvm
+          val w = 4 + (h64jvm(s"${a.asset_id}:iw") % 12).toInt
+          val h = 4 + (h64jvm(s"${a.asset_id}:ih") % 12).toInt
+          val px = Array.tabulate(w * h)(i =>
+            (h64jvm(s"${a.asset_id}:px:$i") % 256).toByte)
+          a.copy(bytes = Png.encodeGray(w, h, px), width = w, height = h)
+        } else a
+      }
   }
 
   /** Batched per-partition decode → fixed-length features. mapPartitions
     * so a real codec amortizes per-batch init (model load, decoder ctx) —
     * the same batch shape a Pandas-UDF/mapInPandas deployment would use. */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 16,
-      codec: Codec = StubCodec): Dataset[Features] = {
+      codec: Codec = DefaultCodec): Dataset[Features] = {
     implicit val enc = Encoders.product[Features]
     assets.mapPartitions { it =>
       it.map { a =>
-        Features(a.asset_id, a.kind, a.bytes.length.toLong,
-          codec.decodeFeatures(a.kind, a.bytes, dim))
+        val (feats, nUnits) = codec.decodeFeatures(a.kind, a.bytes, dim)
+        Features(a.asset_id, a.kind, a.bytes.length.toLong, nUnits, feats)
       }
     }
   }

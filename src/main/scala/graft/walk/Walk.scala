@@ -1,6 +1,6 @@
 package graft.walk
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.graph.GraphOps
@@ -55,26 +55,24 @@ object Walk {
     * replayable in SQL (edge weights are integer-valued, so every prefix
     * sum is exact in doubles — no float-order ambiguity across engines).
     * Used by the portable-RNG walk variants; the default path keeps the
-    * codegen'd alias sampler. */
+    * codegen'd alias sampler. Zero total weight terminates the walker
+    * (None) — same semantics as the dynamic samplers; without the guard a
+    * zero-weight adjacency would deterministically step to the LAST
+    * neighbour (dart = r·0 = 0 and every cum <= dart test advances). */
   private val inverseCdfSample =
     udf { (nbrs: Seq[Long], wts: Seq[Double], r: Double) =>
       val n = nbrs.size
       var total = 0.0
       var i = 0
       while (i < n) { total += wts(i); i += 1 }
-      val dart = r * total
-      var cum = 0.0
-      var j = 0
-      while (j < n - 1 && { cum += wts(j); cum <= dart }) j += 1
-      nbrs(j)
-    }
-
-  /** O(1) alias-table draw over a vertex's out-edges. */
-  private val aliasSample =
-    udf { (nbrs: Seq[Long], prob: Seq[Double], alias: Seq[Int], r1: Double, r2: Double) =>
-      val n = nbrs.size
-      val i = math.min((r1 * n).toInt, n - 1)
-      if (r2 < prob(i)) nbrs(i) else nbrs(alias(i))
+      if (n == 0 || total <= 0.0) None
+      else {
+        val dart = r * total
+        var cum = 0.0
+        var j = 0
+        while (j < n - 1 && { cum += wts(j); cum <= dart }) j += 1
+        Some(nbrs(j))
+      }
     }
 
   /** Exact node2vec draw: weight × (back ? 1/p : common-neighbour ? 1 : 1/q),
@@ -98,10 +96,13 @@ object Walk {
         cum(i) = total
         i += 1
       }
-      val dart = r * total
-      var j = 0
-      while (j < n - 1 && cum(j) <= dart) j += 1
-      nbrs(j)
+      if (n == 0 || total <= 0.0) None
+      else {
+        val dart = r * total
+        var j = 0
+        while (j < n - 1 && cum(j) <= dart) j += 1
+        Some(nbrs(j))
+      }
     }
 
   // ------------------------------------------------- generic transitions
@@ -228,21 +229,24 @@ object Walk {
       maxSteps: Int,
       config: TransitionConfig = TransitionConfig(),
       seed: Long = 42L,
-      portableRng: Boolean = false): DataFrame = {
+      portableRng: Boolean = false,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "gwalk"): DataFrame = {
     config match {
       // trivial bundle → the tuned default path
       case TransitionConfig(Extension.Always, StaticComp.EdgeWeight, None) =>
-        firstOrder(edges, starts, maxSteps, 1.0, seed, None, "walk", portableRng)
+        firstOrder(edges, starts, maxSteps, 1.0, seed, store, runName, portableRng)
       case TransitionConfig(Extension.Constant(p), StaticComp.EdgeWeight, None) =>
-        firstOrder(edges, starts, maxSteps, p, seed, None, "walk", portableRng)
+        firstOrder(edges, starts, maxSteps, p, seed, store, runName, portableRng)
       case _ =>
-        val adj = GraphOps.adjacency(edges).toDF()
+        val spark = edges.sparkSession
+        // a projection over the session-cached CSR: the statics column is
+        // recomputed per scan (cheap) instead of caching a second copy
+        val adj = GraphOps.adjacencyCached(edges)
           .withColumn("statics", config.static match {
             case StaticComp.EdgeWeight => col("wts")
             case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
           })
-          .repartition(col("v"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
 
         val sampler: Column = config.dynamic match {
           case Some(f) =>
@@ -252,24 +256,48 @@ object Walk {
             inverseCdfSample(col("nbrs"), col("statics"), randSel(portableRng, seed, "s"))
         }
 
-        var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-        val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+        def truncate(df: DataFrame, step: Int): DataFrame = store match {
+          case Some(s) => s.save(runName, step, df)
+          case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        }
+        store.foreach(s => checkManifest(s, runName, spark,
+          s"generic seed=$seed portable=$portableRng ext=${config.extension} " +
+            s"static=${config.static} startsFp=${startsFingerprint(starts)}"))
+        val resumed: Seq[(Int, DataFrame)] = store match {
+          case Some(s) => s.latest(runName) match {
+            case Some((hi, _)) =>
+              (0 to math.min(hi, maxSteps)).map(i =>
+                (i, spark.read.parquet(s.iterPath(runName, i))))
+            case None => Seq.empty
+          }
+          case None => Seq.empty
+        }
+
+        val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
         var step = 0
+        var frontier: DataFrame = null
+        if (resumed.nonEmpty) {
+          resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
+          System.err.println(s"[graft:$runName] resumed at step=$step")
+        } else {
+          frontier = truncate(
+            starts.select(col("walkerId"), lit(0).as("step"), col("curV")), 0)
+          history += frontier
+        }
         var active = frontier.count()
         while (active > 0 && step < maxSteps) {
           val alive = applyExtension(frontier, config.extension, seed, portableRng)
-          val side = if (active < LightModeThreshold) broadcast(alive) else alive
-          frontier = side.join(adj, side("curV") === adj("v"))
+          val light = active < LightModeThreshold
+          val side = if (light) broadcast(alive) else alive
+          val adjSide = if (light) pruneAdjToFrontier(adj, alive, "v", "curV") else adj
+          frontier = truncate(side.join(adjSide, side("curV") === adjSide("v"))
             .select(col("walkerId"), (col("step") + 1).as("step"), sampler.as("curV"))
-            .filter(col("curV").isNotNull)
-            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+            .filter(col("curV").isNotNull), step + 1)
           history += frontier
           step += 1
           active = frontier.count()
-          System.err.println(s"[graft:gwalk] step=$step active=$active")
+          System.err.println(s"[graft:$runName] step=$step active=$active")
         }
-        adj.unpersist(false)
         history.map(f => f.select(col("walkerId"), col("step"), col("curV").as("vertex")))
           .reduce(_ unionAll _)
     }
@@ -284,14 +312,16 @@ object Walk {
       maxSteps: Int,
       config: SecondOrderConfig,
       seed: Long = 42L,
-      portableRng: Boolean = false): DataFrame = {
-    val adj = GraphOps.adjacency(edges).toDF()
+      portableRng: Boolean = false,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "gwalk2"): DataFrame = {
+    val spark = edges.sparkSession
+    // projection over the session-cached CSR (see generic)
+    val adj = GraphOps.adjacencyCached(edges)
       .withColumn("statics", config.static match {
         case StaticComp.EdgeWeight => col("wts")
         case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
       })
-      .repartition(col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
 
     val firstStep =
@@ -300,33 +330,227 @@ object Walk {
         rand(seed, "a1"), rand(seed, "a2"))
     val dyn = dyn2SampleUdf(config.dynamic2)
 
-    var frontier = starts.select(
-        col("walkerId"), lit(0).as("step"), col("curV"), lit(null).cast("long").as("prevV"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    def truncate(df: DataFrame, step: Int): DataFrame = store match {
+      case Some(s) => s.save(runName, step, df)
+      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    store.foreach(s => checkManifest(s, runName, spark,
+      s"generic2 seed=$seed portable=$portableRng ext=${config.extension} " +
+        s"static=${config.static} startsFp=${startsFingerprint(starts)}"))
+    val resumed: Seq[(Int, DataFrame)] = store match {
+      case Some(s) => s.latest(runName) match {
+        case Some((hi, _)) =>
+          (0 to math.min(hi, maxSteps)).map(i =>
+            (i, spark.read.parquet(s.iterPath(runName, i))))
+        case None => Seq.empty
+      }
+      case None => Seq.empty
+    }
+
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var step = 0
+    var frontier: DataFrame = null
+    if (resumed.nonEmpty) {
+      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
+      System.err.println(s"[graft:$runName] resumed at step=$step")
+    } else {
+      frontier = truncate(starts.select(
+        col("walkerId"), lit(0).as("step"), col("curV"),
+        lit(null).cast("long").as("prevV")), 0)
+      history += frontier
+    }
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
       val alive = applyExtension(frontier, config.extension, seed, portableRng)
-      val withAdj = alive.join(adj, alive("curV") === adj("v"))
-      val withPrev = withAdj.join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
-      frontier = withPrev.select(
+      val light = active < LightModeThreshold
+      val frontSide = if (light) broadcast(alive) else alive
+      val adjSide = if (light) pruneAdjToFrontier(adj, alive, "v", "curV") else adj
+      val nbrSide =
+        if (light) broadcast(pruneAdjToFrontier(nbrSets, alive, "pv", "prevV"))
+        else nbrSets
+      val withAdj = frontSide.join(adjSide, frontSide("curV") === adjSide("v"))
+      val withPrev = withAdj.join(nbrSide, withAdj("prevV") === nbrSide("pv"), "left")
+      frontier = truncate(withPrev.select(
           col("walkerId"),
           (col("step") + 1).as("step"),
           when(col("prevV").isNull, firstStep)
             .otherwise(dyn(col("step"), col("prevV"), col("prevNbrs"), col("nbrs"),
               col("wts"), col("statics"), randSel(portableRng, seed, "n2v"))).as("curV"),
           col("curV").as("prevV"))
-        .filter(col("curV").isNotNull)
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .filter(col("curV").isNotNull), step + 1)
       history += frontier
       step += 1
       active = frontier.count()
-      System.err.println(s"[graft:gwalk2] step=$step active=$active")
+      System.err.println(s"[graft:$runName] step=$step active=$active")
     }
-    adj.unpersist(false)
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
       .reduce(_ unionAll _)
+  }
+
+  /** Arbitrary per-walker user state — the reference's `walker_data_t`
+    * surface (WalkerConfig.walker_init_state_func /
+    * walker_update_state_func, include/walk.hpp:154-190): each walker
+    * carries a typed user state S, Pd may read it, and `update` evolves
+    * it on every accepted step. Metapath's scheme id is one instance
+    * ([[metapathOnGeneric]], cf. reference src/apps/metascheme.hpp:36-40);
+    * the reference's walker-state hash-chain test family
+    * (src/tests/test_walker.cpp:45-318) is ported against this API in
+    * WalkerStateSpec.
+    *
+    * @param init      (walkerId, startVertex) → initial state
+    * @param bias      Pd(step, state, curV, dst, edgeWeight, edata) → ≥ 0;
+    *                  candidates with static·bias <= 0 are excluded BEFORE
+    *                  the inverse-CDF draw (a vertex with no positive
+    *                  candidate terminates the walker — reference Pe
+    *                  vertex-mask semantics)
+    * @param update    (state, walkerId, curV, nextV) → state after moving
+    * @param extension Pe(step, state, curV) → continue probability (may
+    *                  read the state, unlike the column engines)
+    */
+  final case class StatefulConfig[S](
+      init: (Long, Long) => S,
+      bias: (Int, S, Long, Long, Double, Long) => Double,
+      update: (S, Long, Long, Long) => S,
+      extension: (Int, S, Long) => Double = (_: Int, _: Any, _: Long) => 1.0,
+      static: StaticComp = StaticComp.EdgeWeight)
+
+  /** First-order walk threading arbitrary typed walker state through every
+    * step — the engine half of the reference's `walker_data_t` contract.
+    * The frontier is a typed Dataset[(walkerId, step, curV, state)]; each
+    * step is one co-partitioned joinWith against the (edata-carrying)
+    * adjacency plus a flatMap that draws the exact Pd distribution and
+    * applies `update`. Output: footprints (walkerId, step, vertex, state)
+    * where `state` is the walker's state ON ARRIVAL at `vertex` — the
+    * hash-chain test recomputes it from the path and compares exactly.
+    *
+    * Randomness keys on (seed, walkerId, step) only (partition- and
+    * resume-independent); `portableRng` selects the md5 stream shared
+    * with the column engines so [[metapathOnGeneric]] is draw-for-draw
+    * identical to [[metapath]]. */
+  def genericStateful[S](
+      edges: DataFrame,               // (src, dst, weight[, edata: long])
+      starts: DataFrame,              // (walkerId, curV)
+      maxSteps: Int,
+      config: StatefulConfig[S],
+      seed: Long = 42L,
+      portableRng: Boolean = false,
+      sampleSalt: String = "gs")(implicit senc: Encoder[S]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val eData =
+      if (edges.columns.contains("edata")) edges
+      else edges.withColumn("edata", lit(0L))
+    // neighbour order: sorted by dst — identical to GraphOps.adjacency
+    // and the metapath adjacency, so samplers see the same candidate order
+    val adj = eData
+      .groupBy(col("src").as("v"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("weight"), col("edata")))).as("a"))
+      .select(col("v"), col("a.dst").as("nbrs"), col("a.weight").as("wts"),
+        col("a.edata").as("edatas"))
+      .repartition(col("v"))
+      .sortWithinPartitions("v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjDs = adj.as[(Long, Seq[Long], Seq[Double], Seq[Long])]
+
+    implicit val fEnc: Encoder[(Long, Int, Long, S)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong, senc)
+
+    val unbiased = config.static == StaticComp.Unbiased
+    val cfg = config
+
+    // a val (not a local def): local defs lift onto Walk$, and a closure
+    // calling one would have to serialize the whole module
+    val seedL = seed
+    val rnd: (Long, Int, String, Long) => Double =
+      if (portableRng)
+        (wid, step, salt, _) =>
+          graft.text.TextOps.h64jvm(s"$seedL:$wid:$step:$salt").toDouble /
+            1152921504606846976.0 // 2^60 — exact twin of randP
+      else
+        (wid, step, _, saltId) => Walk.jvmRand(seedL, wid, step, saltId)
+
+    var frontier: Dataset[(Long, Int, Long, S)] = starts
+      .select(col("walkerId"), col("curV")).as[(Long, Long)]
+      .map { case (wid, v) => (wid, 0, v, cfg.init(wid, v)) }
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+    def asFp(f: Dataset[(Long, Int, Long, S)]): DataFrame =
+      f.toDF("walkerId", "step", "vertex", "state")
+
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](asFp(frontier))
+    var step = 0
+    var active = frontier.count()
+    while (active > 0 && step < maxSteps) {
+      val joined = frontier.joinWith(adjDs, frontier("_3") === adjDs("v"))
+      frontier = joined.flatMap { case ((wid, st, cur, state), (_, nbrs, wts, edatas)) =>
+        val pe = cfg.extension(st, state, cur)
+        if (pe < 1.0 && rnd(wid, st, "keep", 1L) >= pe) Iterator.empty[(Long, Int, Long, S)]
+        else {
+          val n = nbrs.size
+          val an = new scala.collection.mutable.ArrayBuffer[Long](n)
+          val aw = new scala.collection.mutable.ArrayBuffer[Double](n)
+          var i = 0
+          while (i < n) {
+            val s0 = if (unbiased) 1.0 else wts(i)
+            val bw = s0 * cfg.bias(st, state, cur, nbrs(i), wts(i), edatas(i))
+            if (bw > 0.0) { an += nbrs(i); aw += bw }
+            i += 1
+          }
+          var total = 0.0
+          var t = 0
+          while (t < aw.size) { total += aw(t); t += 1 }
+          if (an.isEmpty || total <= 0.0) Iterator.empty
+          else {
+            // same capped inverse-CDF as the column samplers
+            val dart = rnd(wid, st, sampleSalt, 2L) * total
+            var cum = 0.0
+            var j = 0
+            while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
+            val nxt = an(j)
+            Iterator.single((wid, st + 1, nxt, cfg.update(state, wid, cur, nxt)))
+          }
+        }
+      }.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      history += asFp(frontier)
+      step += 1
+      active = frontier.count()
+      System.err.println(s"[graft:gstate] step=$step active=$active")
+    }
+    adj.unpersist(false)
+    history.reduce(_ unionAll _)
+  }
+
+  /** [[metapath]] re-expressed on the generic stateful API — proof that
+    * `walker_data_t` subsumes the metapath app (the reference carries
+    * (scheme_id, state) through exactly this surface,
+    * src/apps/metascheme.hpp:36-40): state = schemeId, Pd masks the edge
+    * type by the scheme's per-step mask. Draw-for-draw identical to
+    * [[metapath]] under portableRng — same "mp" salt, same filtered
+    * inverse-CDF, same neighbour order (WalkerStateSpec). */
+  def metapathOnGeneric(
+      edges: DataFrame,               // (src, dst, weight, etype)
+      starts: DataFrame,
+      schemes: Seq[Seq[Seq[Boolean]]],
+      maxSteps: Int,
+      seed: Long = 42L,
+      portableRng: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
+    val nSchemes = schemes.size
+    val cfg = StatefulConfig[Int](
+      init = (wid, _) => (wid % nSchemes).toInt,
+      bias = (step, schemeId, _, _, _, edata) => {
+        val scheme = schemesB(schemeId)
+        val mask = scheme(step % scheme.length)
+        val et = edata.toInt
+        if (et < mask.length && mask(et)) 1.0 else 0.0
+      },
+      update = (s, _, _, _) => s)
+    genericStateful(edges.withColumn("edata", col("etype").cast("long")), starts,
+      maxSteps, cfg, seed, portableRng, sampleSalt = "mp")
+      .select(col("walkerId"), col("step"), col("vertex"))
   }
 
   /** Walker start vertices: walker i starts at the vertex of dense rank
@@ -334,11 +558,7 @@ object Walk {
     * (include/walk.hpp:403-411). */
   def equalStarts(edges: DataFrame, numWalkers: Long): DataFrame = {
     val spark = edges.sparkSession
-    val verts = GraphOps.vertices(edges)
-    val indexed = graft.derive.Derive.withDenseVid(
-      verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
-      .select(col("conv_id").as("v"), col("vid").as("idx"))
-    val nV = indexed.count()
+    val (indexed, nV) = denseIndexOf(GraphOps.vertices(edges))
     spark.range(numWalkers).select(col("id").as("walkerId"), pmod(col("id"), lit(nV)).as("idx"))
       .join(indexed, "idx")
       .select(col("walkerId"), col("v").as("curV"))
@@ -349,11 +569,7 @@ object Walk {
     * so the DuckDB walk oracles replay the start assignment too). */
   def uniformStarts(edges: DataFrame, numWalkers: Long, seed: Long): DataFrame = {
     val spark = edges.sparkSession
-    val verts = GraphOps.vertices(edges)
-    val indexed = graft.derive.Derive.withDenseVid(
-      verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
-      .select(col("conv_id").as("v"), col("vid").as("idx"))
-    val nV = indexed.count()
+    val (indexed, nV) = denseIndexOf(GraphOps.vertices(edges))
     spark.range(numWalkers)
       .select(col("id").as("walkerId"),
         pmod(graft.text.TextOps.h64(concat_ws(":", lit(seed), col("id"), lit("start"))),
@@ -368,14 +584,113 @@ object Walk {
     * comm threads when active < 4000, include/walk.hpp:934). */
   val LightModeThreshold = 4096L
 
-  /** Frontier size below which the chained kernels semi-join the CSR
-    * side down to the buckets that still hold walkers (exactly the rows
-    * the kernel can read) instead of re-shuffling the whole adjacency.
-    * Only worth its two extra small jobs per round when the CSR is big
-    * ([[BucketPruneMinAdj]]) — on toy graphs the full shuffle is cheaper
-    * than the pruning plan. */
+  /** Frontier size below which round-0 of the chained kernels already
+    * prunes the CSR side (rounds >= 1 always prune — the crosser frontier
+    * is a small subset of buckets, and re-shuffling the whole adjacency
+    * per outer round was the worst-scaling phase of r2's BENCH). */
   val BucketPruneThreshold = 100000L
-  val BucketPruneMinAdj = 1000000L
+
+  /** Crossing walkers in [[node2vecChained]] carry their previous
+    * vertex's neighbour list; above this degree the array is NOT shipped
+    * (a 1M-degree hub would put MBs on every crossing row and into the
+    * per-round checkpoint) — the walker is flagged and prevNbrs is
+    * re-resolved by one broadcast-frontier lookup join at the start of
+    * the next round, off the checkpoint path. */
+  val CrosserNbrsCap = 1024
+
+  /** Plan truncation with REAL statistics for the chained-walk rounds:
+    * persist+count makes the leaf's stats the InMemoryRelation's actual
+    * bytes, localCheckpoint then cuts the lineage inheriting them, and
+    * the cache is dropped. Plain localCheckpoint copies the ESTIMATED
+    * stats of the replaced plan — any frontier-derived join inside the
+    * round (the node2vecChained prevNbrs resolution join) would square
+    * sizeInBytes every round until Catalyst drowns in BigInteger
+    * arithmetic (minutes per round by ~25; see Iterate's scaladoc). */
+  private def truncateReal[T](ds: Dataset[T]): Dataset[T] = {
+    val ser = StorageLevel.MEMORY_AND_DISK_SER
+    val cached = ds.persist(ser)
+    cached.count()
+    val cut = cached.localCheckpoint(true, ser)
+    cached.unpersist(false)
+    cut
+  }
+
+  /** Light-mode CSR pruning: collect the (≤ [[LightModeThreshold]])
+    * distinct frontier vertices and push them into the adjacency scan as
+    * an IN-set predicate. The persisted CSR is sorted within partitions
+    * by v, so InMemoryTableScan prunes whole cached batches from their
+    * (min, max) stats — a tail step reads o(|CSR|) rows instead of
+    * scanning the full adjacency for a handful of walkers. */
+  private def pruneAdjToFrontier(
+      adj: DataFrame, frontier: DataFrame, vCol: String, fCol: String): DataFrame = {
+    val vs = frontier.select(col(fCol)).filter(col(fCol).isNotNull)
+      .distinct().collect().map(_.getLong(0))
+    if (vs.isEmpty) adj.filter(lit(false)) else adj.filter(col(vCol).isin(vs: _*))
+  }
+
+  /** Durable-run parameter manifest: written next to the run's
+    * checkpoints on first use; a resume with different walk parameters
+    * fails loudly instead of silently continuing the old walk's prefix
+    * (randomness keys on (seed, walkerId, step), so only identical
+    * params make a resumed walk bitwise-identical). User-supplied
+    * lambdas (generic configs) cannot be fingerprinted — engine params
+    * and the start-set fingerprint are; keeping custom Pd functions
+    * stable across resumes is the caller's contract. */
+  private def checkManifest(
+      store: graft.engine.Iterate.CheckpointStore,
+      runName: String,
+      spark: org.apache.spark.sql.SparkSession,
+      params: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${store.root}/$runName/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      require(existing == params,
+        s"resume '$runName': stored params [$existing] != requested [$params] — " +
+          "use a fresh store/runName or matching parameters")
+    } else {
+      val out = fs.create(p, true)
+      out.write(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
+  /** Cheap deterministic fingerprint of a starts table for the manifest
+    * (order-insensitive sum of per-row hashes, folded below 2^31 so the
+    * sum can't overflow under ANSI arithmetic). */
+  private def startsFingerprint(starts: DataFrame): Long =
+    starts.agg(sum(pmod(xxhash64(col("walkerId"), col("curV")), lit(1000000007L))))
+      .head().getLong(0)
+
+  // ------------------------------------------ start-distribution index
+
+  /** Dense vertex-rank index cache: the index behind equalStarts /
+    * uniformStarts / personalizedStarts is input-derived and identical
+    * across calls; r2 rebuilt it (plus two counts) on every call. Keyed
+    * by the canonicalized source plan; entries persist until
+    * [[clearStartIndexCache]]. */
+  private val startIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, Int), (DataFrame, Long)]()
+
+  private def denseIndexOf(verts: DataFrame): (DataFrame, Long) = {
+    val spark = verts.sparkSession
+    val key = (spark, verts.queryExecution.analyzed.semanticHash())
+    startIdxCache.computeIfAbsent(key, _ => {
+      val indexed = graft.derive.Derive.withDenseVid(
+          verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
+        .select(col("conv_id").as("v"), col("vid").as("idx"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (indexed, indexed.count())
+    })
+  }
+
+  def clearStartIndexCache(): Unit = {
+    startIdxCache.values.forEach(v => v._1.unpersist(false))
+    startIdxCache.clear()
+  }
 
   /** First-order walk (DeepWalk `keepProb=1`, PPR `maxSteps` large &
     * `keepProb=1-α`). Returns footprints (walkerId, step, vertex) with
@@ -408,9 +723,10 @@ object Walk {
       runName: String = "walk",
       portableRng: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val adj = GraphOps.adjacency(edges).toDF()
-      .repartition(col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // session-cached CSR: v-partitioned (heavy-mode frontier joins
+    // co-locate on it) and sorted within partitions (light-mode IN-set
+    // predicates prune cached batches via tight min/max stats)
+    val adj = GraphOps.adjacencyCached(edges)
 
     def asFp(f: DataFrame) =
       f.select(col("walkerId"), col("step"), col("curV").as("vertex"))
@@ -420,11 +736,19 @@ object Walk {
       case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
+    store.foreach(s => checkManifest(s, runName, spark,
+      s"firstOrder seed=$seed keepProb=$keepProb portable=$portableRng " +
+        s"startsFp=${startsFingerprint(starts)}"))
+
     // resume: rebuild the footprint history from the store's complete
-    // steps and continue from the highest one
+    // steps and continue from the highest one; a store holding MORE steps
+    // than this run's maxSteps is truncated to maxSteps (footprints beyond
+    // the requested horizon must not leak into the result)
     val resumed: Seq[(Int, DataFrame)] = store match {
       case Some(s) => s.latest(runName) match {
-        case Some((hi, _)) => (0 to hi).map(i => (i, spark.read.parquet(s.iterPath(runName, i))))
+        case Some((hi, _)) =>
+          (0 to math.min(hi, maxSteps)).map(i =>
+            (i, spark.read.parquet(s.iterPath(runName, i))))
         case None => Seq.empty
       }
       case None => Seq.empty
@@ -446,9 +770,12 @@ object Walk {
       val alive =
         if (keepProb >= 1.0) frontier
         else frontier.filter(randSel(portableRng, seed, "keep") < keepProb)
-      // light mode: a broadcast frontier joins the persisted adjacency
-      // in place — no exchange on either side for the tail steps
-      val frontierSide = if (active < LightModeThreshold) broadcast(alive) else alive
+      // light mode: a broadcast frontier joins the persisted adjacency in
+      // place (no exchange) AND the adjacency scan itself is pruned to the
+      // frontier's vertices (no full-CSR scan per tail step)
+      val light = active < LightModeThreshold
+      val frontierSide = if (light) broadcast(alive) else alive
+      val adjSide = if (light) pruneAdjToFrontier(adj, alive, "v", "curV") else adj
       val sampled =
         if (portableRng)
           inverseCdfSample(col("nbrs"), col("wts"), randP(seed, "s"))
@@ -456,8 +783,9 @@ object Walk {
           graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
             rand(seed, "a1"), rand(seed, "a2"))
       val advanced = frontierSide
-        .join(adj, frontierSide("curV") === adj("v"))
+        .join(adjSide, frontierSide("curV") === adjSide("v"))
         .select(col("walkerId"), (col("step") + 1).as("step"), sampled.as("curV"))
+        .filter(col("curV").isNotNull)
       // plan truncation per step is safe with carried stats: the frontier
       // plan never self-joins, so stats grow linearly, not exponentially
       // (cf. Iterate)
@@ -467,9 +795,8 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
-    adj.unpersist(false)
-    // footprints = union of the already-materialized per-step frontiers;
-    // in durable mode these are the store's Parquet read-backs
+    // adj is session-cached (GraphOps.adjacencyCached) — not unpersisted
+    // here; release via GraphOps.clearAdjacencyCache
     history.map(asFp).reduce(_ unionAll _)
   }
 
@@ -528,11 +855,7 @@ object Walk {
     // round, and without the persist each round re-runs the groupBy +
     // alias-table build (the count also materializes it and gates tail
     // bucket pruning)
-    val adjDf = GraphOps.adjacency(edges)
-      .map(a => (a.v / rangeSize, a))
-      .toDF("bucket", "adj")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adjDf.count()
+    val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
     val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
 
     var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
@@ -545,17 +868,21 @@ object Walk {
     var active = frontier.count()
     while (active > 0 && outer <= maxSteps) {
       val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // tail rounds: the kernel only ever reads CSR rows of the buckets
-      // its walkers are currently in, so once the frontier is small the
-      // CSR side is semi-joined down to those buckets instead of
-      // re-shuffling the whole adjacency for a handful of walkers (the
-      // round-2+ tail used to cost as much as round 1)
+      // rounds >= 1 hold only bucket-crossers: ALWAYS prune the CSR down
+      // to their live buckets instead of re-shuffling the whole adjacency
+      // once per outer round (r2 paid the full exchange per round and it
+      // was the worst-scaling phase); round 0 prunes too when the start
+      // frontier is already small. The live set (≤ nBuckets ids) is
+      // collected and pushed as a LITERAL IN-set: (1) the bucket key uses
+      // the kernel's exact Long division — floor(col/lit) is a DOUBLE
+      // division that can round ids above 2^53 into the adjacent bucket
+      // and silently strand its walkers; (2) a frontier-derived JOIN here
+      // would feed frontier stats back into the round's plan and square
+      // sizeInBytes per round (see truncateReal).
       val adjRound =
-        if (active < BucketPruneThreshold && adjCount >= BucketPruneMinAdj) {
-          val bks = frontier.toDF("walkerId", "step", "curV")
-            .select(floor(col("curV") / lit(rangeSize)).cast("long").as("bucket"))
-            .distinct()
-          adjDf.join(broadcast(bks), "bucket")
+        if (outer >= 1 || active < BucketPruneThreshold) {
+          val live = frontier.map(_._3 / rangeSize).distinct().collect()
+          adjDf.filter(col("bucket").isin(live: _*))
             .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
         } else adjB
       // output rows: (walkerId, step, vertex, moved) — moved=false rows
@@ -591,18 +918,17 @@ object Walk {
           outRows
         }
       }.toDF("walkerId", "step", "vertex", "moved")
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val outT = truncateReal(out)
 
-      history += out.filter(!col("moved"))
+      history += outT.filter(!col("moved"))
         .select(col("walkerId"), col("step"), col("vertex"))
-      frontier = out.filter(col("moved"))
+      frontier = outT.filter(col("moved"))
         .select(col("walkerId"), col("step"), col("vertex").as("curV"))
         .as[(Long, Int, Long)].localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       outer += 1
       active = frontier.count()
       System.err.println(s"[graft:chain] outer=$outer active=$active")
     }
-    adjDf.unpersist(false)
     history.reduce(_ unionAll _)
   }
 
@@ -625,7 +951,8 @@ object Walk {
       p: Double = 1.0,
       q: Double = 1.0,
       seed: Long = 42L,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      crosserCap: Int = CrosserNbrsCap): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nBuckets =
@@ -633,12 +960,8 @@ object Walk {
     val maxV = edges.agg(greatest(max("src"), max("dst"))).head().getLong(0)
     val rangeSize = math.max(1L, maxV / nBuckets + 1)
 
-    // persist the bucketed CSR once (see firstOrderChained)
-    val adjDf = GraphOps.adjacency(edges)
-      .map(a => (a.v / rangeSize, a))
-      .toDF("bucket", "adj")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adjDf.count()
+    // session-cached bucketed CSR (see firstOrderChained)
+    val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
     val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
 
     // frontier: (walkerId, step, curV, prevV (-1 = first step), prevNbrs)
@@ -653,14 +976,32 @@ object Walk {
     var outer = 0
     var active = frontier.count()
     while (active > 0 && outer <= maxSteps) {
-      val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // tail bucket pruning — see firstOrderChained
+      // crossers whose previous vertex had degree > crosserCap were
+      // shipped WITHOUT their prevNbrs array (empty + prevV >= 0): re-
+      // attach it here with one broadcast-frontier lookup join against
+      // the persisted CSR — the hub arrays ride straight into the
+      // cogroup exchange and never hit the per-round checkpoint
+      val needs = frontier.filter(w => w._4 >= 0L && w._5.isEmpty)
+      val stepInput =
+        if (needs.count() == 0) frontier
+        else {
+          val ready = frontier.filter(w => w._4 < 0L || w._5.nonEmpty)
+          val resolved = adjDf
+            .select(col("adj.v").as("pv"), col("adj.nbrs").as("pnbrs"))
+            .join(broadcast(needs.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+              .drop("prevNbrs")), col("prevV") === col("pv"))
+            .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+              col("pnbrs").as("prevNbrs"))
+            .as[(Long, Int, Long, Long, Array[Long])]
+          ready.union(resolved)
+        }
+      val grouped = stepInput.groupByKey(_._3 / rangeSize)
+      // bucket pruning — see firstOrderChained (exact Long division,
+      // literal IN-set from the cheap checkpointed frontier)
       val adjRound =
-        if (active < BucketPruneThreshold && adjCount >= BucketPruneMinAdj) {
-          val bks = frontier.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
-            .select(floor(col("curV") / lit(rangeSize)).cast("long").as("bucket"))
-            .distinct()
-          adjDf.join(broadcast(bks), "bucket")
+        if (outer >= 1 || active < BucketPruneThreshold) {
+          val live = frontier.map(_._3 / rangeSize).distinct().collect()
+          adjDf.filter(col("bucket").isin(live: _*))
             .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
         } else adjB
       val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
@@ -713,16 +1054,22 @@ object Walk {
                 rows += ((walkerId, step, cur, -1L, Array.empty[Long], false))
             }
           }
-          if (!done && step < maxSteps && cur / rangeSize != bucket)
-            rows += ((walkerId, step, cur, prev, prevNbrs, true))
+          if (!done && step < maxSteps && cur / rangeSize != bucket) {
+            // bounded crosser state: hub-degree prevNbrs are NOT shipped
+            // (re-resolved at the start of the next round instead)
+            val ship = if (prevNbrs.length > crosserCap) Array.empty[Long] else prevNbrs
+            rows += ((walkerId, step, cur, prev, ship, true))
+          }
           rows
         }
       }.toDF("walkerId", "step", "vertex", "prevV", "prevNbrs", "moved")
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      // REAL-stats truncation is mandatory here: the prevNbrs resolution
+      // join above feeds frontier-derived stats into the round's plan
+      val outT = truncateReal(out)
 
-      history += out.filter(!col("moved"))
+      history += outT.filter(!col("moved"))
         .select(col("walkerId"), col("step"), col("vertex"))
-      frontier = out.filter(col("moved"))
+      frontier = outT.filter(col("moved"))
         .select(col("walkerId"), col("step"), col("vertex").as("curV"),
           col("prevV"), col("prevNbrs"))
         .as[(Long, Int, Long, Long, Array[Long])]
@@ -731,7 +1078,6 @@ object Walk {
       active = frontier.count()
       System.err.println(s"[graft:n2vchain] outer=$outer active=$active")
     }
-    adjDf.unpersist(false)
     history.reduce(_ unionAll _)
   }
 
@@ -749,22 +1095,27 @@ object Walk {
       store: Option[graft.engine.Iterate.CheckpointStore] = None,
       runName: String = "n2v"): DataFrame = {
     val spark = edges.sparkSession
-    val adj = GraphOps.adjacency(edges).toDF()
-      .repartition(col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = GraphOps.adjacencyCached(edges)
     val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
 
     def truncate(df: DataFrame, step: Int): DataFrame = store match {
       case Some(s) => s.save(runName, step, df)
       case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
+
+    store.foreach(s => checkManifest(s, runName, spark,
+      s"node2vec seed=$seed p=$p q=$q portable=$portableRng " +
+        s"startsFp=${startsFingerprint(starts)}"))
+
     // mid-walk resume: the per-step frontier snapshots carry prevV, so a
     // re-run with the same store continues the second-order walk exactly
-    // (randomness keys on (seed, walkerId, step) only)
+    // (randomness keys on (seed, walkerId, step) only); reloaded history
+    // is capped at this run's maxSteps
     val resumed: Seq[(Int, DataFrame)] = store match {
       case Some(s) => s.latest(runName) match {
         case Some((hi, _)) =>
-          (0 to hi).map(i => (i, spark.read.parquet(s.iterPath(runName, i))))
+          (0 to math.min(hi, maxSteps)).map(i =>
+            (i, spark.read.parquet(s.iterPath(runName, i))))
         case None => Seq.empty
       }
       case None => Seq.empty
@@ -785,9 +1136,17 @@ object Walk {
 
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
-      val withAdj = frontier.join(adj, frontier("curV") === adj("v"))
+      // light mode: broadcast the tail frontier and prune both CSR scans
+      // (curV adjacency + prevV neighbour sets) to the frontier's vertices
+      val light = active < LightModeThreshold
+      val frontSide = if (light) broadcast(frontier) else frontier
+      val adjSide = if (light) pruneAdjToFrontier(adj, frontier, "v", "curV") else adj
+      val nbrSide =
+        if (light) broadcast(pruneAdjToFrontier(nbrSets, frontier, "pv", "prevV"))
+        else nbrSets
+      val withAdj = frontSide.join(adjSide, frontSide("curV") === adjSide("v"))
       val withPrev = withAdj
-        .join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
+        .join(nbrSide, withAdj("prevV") === nbrSide("pv"), "left")
       val firstStep =
         if (portableRng) inverseCdfSample(col("nbrs"), col("wts"), randP(seed, "s"))
         else graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"), col("alias"),
@@ -800,13 +1159,13 @@ object Walk {
             node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
               lit(p), lit(q), randSel(portableRng, seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
+        .filter(col("curV").isNotNull)
       frontier = truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
-    adj.unpersist(false)
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
       .reduce(_ unionAll _)
   }
@@ -823,7 +1182,9 @@ object Walk {
       schemes: Seq[Seq[Seq[Boolean]]],
       maxSteps: Int,
       seed: Long = 42L,
-      portableRng: Boolean = false): DataFrame = {
+      portableRng: Boolean = false,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "meta"): DataFrame = {
     val spark = edges.sparkSession
     val adj = edges
       .groupBy(col("src").as("v"))
@@ -831,6 +1192,7 @@ object Walk {
       .select(col("v"),
         col("adjl.dst").as("nbrs"), col("adjl.weight").as("wts"), col("adjl.etype").as("etypes"))
       .repartition(col("v"))
+      .sortWithinPartitions("v")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
@@ -850,11 +1212,11 @@ object Walk {
           if (et < mask.length && mask(et)) { an += nbrs(i); aw += wts(i) }
           i += 1
         }
-        if (an.isEmpty) None
+        var total = 0.0
+        var t = 0
+        while (t < aw.size) { total += aw(t); t += 1 }
+        if (an.isEmpty || total <= 0.0) None
         else {
-          var total = 0.0
-          var t = 0
-          while (t < aw.size) { total += aw(t); t += 1 }
           val dart = r * total
           var cum = 0.0
           var j = 0
@@ -865,26 +1227,57 @@ object Walk {
 
     val nSchemes = schemes.size
 
-    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
-        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
-      .localCheckpoint(true)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    def truncate(df: DataFrame, step: Int): DataFrame = store match {
+      case Some(s) => s.save(runName, step, df)
+      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    // manifest includes a structural fingerprint of the scheme masks —
+    // resuming under different schemes would silently mix walk families
+    store.foreach(s => checkManifest(s, runName, spark,
+      s"metapath seed=$seed portable=$portableRng " +
+        s"schemes=${schemes.map(_.map(_.map(b => if (b) '1' else '0').mkString)
+          .mkString("+")).mkString(",")} startsFp=${startsFingerprint(starts)}"))
+    // the per-step snapshots carry schemeId, so a resume continues each
+    // walker under its scheme exactly (randomness keys on walkerId, step)
+    val resumed: Seq[(Int, DataFrame)] = store match {
+      case Some(s) => s.latest(runName) match {
+        case Some((hi, _)) =>
+          (0 to math.min(hi, maxSteps)).map(i =>
+            (i, spark.read.parquet(s.iterPath(runName, i))))
+        case None => Seq.empty
+      }
+      case None => Seq.empty
+    }
 
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var step = 0
+    var frontier: DataFrame = null
+    if (resumed.nonEmpty) {
+      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
+      System.err.println(s"[graft:$runName] resumed at step=$step")
+    } else {
+      frontier = truncate(starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId")), 0)
+      history += frontier
+    }
+
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
-      val advanced = frontier
-        .join(adj, frontier("curV") === adj("v"))
+      val light = active < LightModeThreshold
+      val frontSide = if (light) broadcast(frontier) else frontier
+      val adjSide = if (light) pruneAdjToFrontier(adj, frontier, "v", "curV") else adj
+      val advanced = frontSide
+        .join(adjSide, frontSide("curV") === adjSide("v"))
         .select(col("walkerId"), (col("step") + 1).as("step"),
           sample(col("nbrs"), col("wts"), col("etypes"),
             col("schemeId"), col("step"), randSel(portableRng, seed, "mp")).as("curV"),
           col("schemeId"))
         .filter(col("curV").isNotNull)
-      frontier = advanced.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      frontier = truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
-      System.err.println(s"[graft:meta] step=$step active=$active")
+      System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     adj.unpersist()
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
@@ -916,10 +1309,7 @@ object Walk {
     * startVertices(i mod size) — personalized PageRank source sets). */
   def personalizedStarts(startVertices: DataFrame, numWalkers: Long): DataFrame = {
     val spark = startVertices.sparkSession
-    val indexed = graft.derive.Derive.withDenseVid(
-      startVertices.select(col("v").as("conv_id")).distinct().withColumn("turn_idx", lit(0)))
-      .select(col("conv_id").as("v"), col("vid").as("idx"))
-    val nS = indexed.count()
+    val (indexed, nS) = denseIndexOf(startVertices.select(col("v")).distinct())
     spark.range(numWalkers)
       .select(col("id").as("walkerId"), pmod(col("id"), lit(nS)).as("idx"))
       .join(indexed, "idx")

@@ -120,19 +120,53 @@ class PipelineSpec extends SparkSpec {
     val queries = df.filter(col("vec_id") < 5)
     val exact = Ann.bruteForceTopK(df, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Ann.lshTopK(df, queries, k = 5)
+    val approx = Ann.lshTopK(df, queries, k = 5, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall")
   }
 
-  test("multimodal plumbing: schema, determinism, frame shape; codec is stubbed") {
+  test("LSH bucket fails loudly on an embedding whose length != dim") {
+    // pre-fix behaviour: zip_with null-padded, every sign bit read 0, all
+    // vectors landed in ONE bucket per table and LSH went quadratic
+    val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Ann.lshTopK(df, df, k = 1, dim = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("embedding length")))
+  }
+
+  test("multimodal: image kind is a REAL PNG decoded by javax.imageio; stub only for audio/video") {
     val assets = MultiModal.syntheticAssets(corpus)
+    val images = assets.filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { a =>
+      // the bytes are a valid PNG: the real JDK decoder reproduces the
+      // deterministic generator's dimensions and pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+      assert(img != null, s"asset ${a.asset_id}: ImageIO could not decode")
+      assert(img.getWidth === a.width && img.getHeight === a.height)
+      assert(a.bytes.length.toLong ===
+        graft.multimodal.Png.expectedLength(a.width, a.height))
+      val r = img.getRaster
+      for (i <- 0 until math.min(10, a.width * a.height)) {
+        val expected = (graft.text.TextOps.h64jvm(s"${a.asset_id}:px:$i") % 256).toInt
+        assert(r.getSample(i % a.width, i / a.width, 0) === expected)
+      }
+    }
     val feats = MultiModal.extractFeatures(assets, dim = 16).collect()
     assert(feats.length === corpus.count())
     assert(feats.forall(_.features.length == 16))
-    // stub decode is a normalized histogram: sums to ~1
+    // decode is a normalized histogram: sums to ~1
     assert(feats.forall(f => math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-3))
+    // image features count PIXELS (n_units = w*h), not encoded bytes
+    val fById = feats.map(f => f.asset_id -> f).toMap
+    images.foreach { a =>
+      assert(fById(a.asset_id).n_units === a.width.toLong * a.height)
+      assert(fById(a.asset_id).n_bytes === a.bytes.length.toLong)
+    }
     // deterministic across runs
     val feats2 = MultiModal.extractFeatures(assets, dim = 16).collect()
     assert(feats.sortBy(_.asset_id).zip(feats2.sortBy(_.asset_id))
