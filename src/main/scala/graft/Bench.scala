@@ -87,6 +87,11 @@ object Bench {
     }
     secs += "node2vec_chained" -> tN2vChain
 
+    // walk phases share the session CSR caches (built once, reused by all
+    // four); release them before the text/ANN phases
+    graft.graph.GraphOps.clearAdjacencyCache()
+    Walk.clearStartIndexCache()
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (_, tLsh) = time { TextOps.minhashLshPairs(docs).count() }
     secs += "minhash_lsh" -> tLsh

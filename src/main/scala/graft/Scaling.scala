@@ -84,6 +84,10 @@ object Scaling {
     }
     starts.unpersist(false)
     edges.unpersist()
+    // release the session CSR/start-index caches so the compute-dense
+    // phase below runs with the same memory budget at every level
+    graft.graph.GraphOps.clearAdjacencyCache()
+    Walk.clearStartIndexCache()
 
     // compute-dense phase (FLOP-bound, not memory-bandwidth-bound):
     // brute-force cosine over deterministic synthetic embeddings
