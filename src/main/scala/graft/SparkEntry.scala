@@ -205,9 +205,10 @@ object SparkEntry {
       // normalized float features (counts < 2^24, so round(f*n_units) is
       // exact) and takes an index-weighted sum — a discriminative,
       // integer-exact, DuckDB-replayable check of the whole decode
-      // pipeline. Image assets are REAL PNGs decoded by javax.imageio;
-      // the oracle replays the deterministic pixel generator and the
-      // closed-form PNG byte count instead of decoding.
+      // pipeline. Image assets are REAL PNGs decoded by javax.imageio and
+      // audio assets are REAL PCM WAVs decoded by javax.sound.sampled;
+      // the oracle replays the deterministic pixel/sample generators and
+      // the closed-form byte counts instead of decoding.
       MultiModal.extractFeatures(MultiModal.syntheticAssets(docs(s, dir))).toDF()
         .select(col("asset_id"), col("kind"), col("n_bytes"), col("n_units"),
           aggregate(
@@ -676,9 +677,13 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
     // the deterministic pixel GENERATOR (pixel i = h64(id:px:i) mod 256)
     // and the closed-form stored-deflate PNG length 68 + h*(w+1)
     // (Png.expectedLength; PNG is lossless, so decoder histogram ==
-    // generator histogram). Audio/video: the stub codec's byte histogram
-    // replayed from the blob's hex string (DuckDB 1.0: range() takes no
-    // correlated args and substring() has no BLOB overload).
+    // generator histogram). Audio assets: the Spark side REALLY decodes
+    // PCM WAV with javax.sound.sampled — the oracle replays the sample
+    // GENERATOR (sample i = h64(id:smp:i) mod 2^16 − 2^15, bucketed on
+    // its unsigned 16-bit view) and the closed-form WAV length 44 + 2·n.
+    // Video: the stub codec's byte histogram replayed from the blob's
+    // hex string (DuckDB 1.0: range() takes no correlated args and
+    // substring() has no BLOB overload).
     "q_mm_features" ->
       s"""WITH a AS (
   SELECT doc_id AS asset_id,
@@ -688,26 +693,34 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""",
 ), dims AS (
   SELECT asset_id, kind, b,
          CAST(4 + (${h64Sql("asset_id || ':iw'")} % 12) AS INTEGER) AS w,
-         CAST(4 + (${h64Sql("asset_id || ':ih'")} % 12) AS INTEGER) AS h
+         CAST(4 + (${h64Sql("asset_id || ':ih'")} % 12) AS INTEGER) AS h,
+         CAST(64 + (${h64Sql("asset_id || ':ns'")} % 192) AS INTEGER) AS ns
   FROM a
 ), px AS (
   SELECT asset_id,
          CAST((${h64Sql("asset_id || ':px:' || r.i")} % 256) % 16 AS INTEGER) AS bucket
   FROM dims CROSS JOIN range(0, 256) r(i)
   WHERE kind = 'image' AND r.i < w * h
+), smp AS (
+  SELECT asset_id,
+         CAST(((${h64Sql("asset_id || ':smp:' || r.i")} % 65536 + 32768) % 65536) % 16 AS INTEGER) AS bucket
+  FROM dims CROSS JOIN range(0, 256) r(i)
+  WHERE kind = 'audio' AND r.i < ns
 ), byteval AS (
   SELECT asset_id,
          CAST(('0x' || substr(hex(b), CAST(r.i AS INTEGER) * 2 - 1, 2)) AS INTEGER) % 16 AS bucket
   FROM dims CROSS JOIN range(1, 4097) r(i)
-  WHERE kind <> 'image' AND r.i <= octet_length(b)
+  WHERE kind = 'video' AND r.i <= octet_length(b)
 ), agg AS (
   SELECT asset_id, SUM(bucket + 1) AS m
-  FROM (SELECT * FROM px UNION ALL SELECT * FROM byteval) GROUP BY 1
+  FROM (SELECT * FROM px UNION ALL SELECT * FROM smp UNION ALL SELECT * FROM byteval) GROUP BY 1
 )
 SELECT d.asset_id, d.kind,
        CAST(CASE WHEN d.kind = 'image' THEN 68 + d.h * (d.w + 1)
+                 WHEN d.kind = 'audio' THEN 44 + 2 * d.ns
                  ELSE octet_length(d.b) END AS BIGINT) AS n_bytes,
        CAST(CASE WHEN d.kind = 'image' THEN d.w * d.h
+                 WHEN d.kind = 'audio' THEN d.ns
                  ELSE octet_length(d.b) END AS BIGINT) AS n_units,
        CAST(COALESCE(g.m, 0) AS BIGINT) AS hist_moment
 FROM dims d LEFT JOIN agg g ON d.asset_id = g.asset_id ORDER BY d.asset_id""",

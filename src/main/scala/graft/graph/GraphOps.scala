@@ -94,21 +94,29 @@ object GraphOps {
       }
   }
 
-  /** Session-level CSR caches keyed by the canonicalized edge plan: the
-    * walks all need the same per-vertex adjacency (and the chained
-    * kernels the same bucketed form), and rebuilding it per call paid a
-    * groupBy + alias build each time (VERDICT r2 hygiene). Entries are
-    * persisted and live until [[clearAdjacencyCache]]. */
-  private val adjCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
-  private val bucketAdjCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Long), DataFrame]()
+  /** Session-level CSR caches keyed by the FULL canonicalized edge plan
+    * under structural equality (NOT its 32-bit semanticHash — a hash
+    * collision between two distinct edge plans must not serve the wrong
+    * adjacency; and NOT the plan's toString — LocalRelation.toString
+    * omits the relation's data, so two in-memory tables with the same
+    * schema would collide): the walks all need the same per-vertex
+    * adjacency (and the chained kernels the same bucketed form), and
+    * rebuilding it per call paid a groupBy + alias build each time
+    * (VERDICT r2 hygiene). Entries are persisted and live until
+    * [[clearAdjacencyCache]]. Same freshness contract as Spark's own
+    * `Dataset.persist`: if the underlying files are overwritten
+    * mid-session, call [[clearAdjacencyCache]] (and
+    * `spark.catalog.refreshByPath`) to invalidate. */
+  private val adjCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val bucketAdjCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
 
   /** [[adjacency]] as a persisted, v-partitioned, within-partition-sorted
     * DataFrame, built once per (session, edge plan). Callers MUST NOT
     * unpersist it — release via [[clearAdjacencyCache]]. */
   def adjacencyCached(edges: DataFrame): DataFrame = {
-    val key = (edges.sparkSession, edges.queryExecution.analyzed.semanticHash())
+    val key = (edges.sparkSession, edges.queryExecution.analyzed.canonicalized)
     adjCache.computeIfAbsent(key, _ => {
       val df = adjacency(edges).toDF()
         .repartition(col("v"))
@@ -124,7 +132,7 @@ object GraphOps {
   def bucketedAdjacencyCached(edges: DataFrame, rangeSize: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val key = (spark, edges.queryExecution.analyzed.semanticHash(), rangeSize)
+    val key = (spark, edges.queryExecution.analyzed.canonicalized, rangeSize)
     bucketAdjCache.computeIfAbsent(key, _ => {
       val df = adjacency(edges)
         .map(a => (a.v / rangeSize, a))

@@ -45,6 +45,16 @@ final case class AdjRow(
     prob: Array[Double],
     alias: Array[Int])
 
+/** Adjacency row carrying per-edge types for metapath walks (reference
+  * src/apps/metascheme.hpp: scheme masks select sub-adjacencies by edge
+  * type). No alias table: the per-step mask changes the sampled support,
+  * so sampling is masked inverse-CDF, not precomputed alias. */
+final case class TypedAdjRow(
+    v: Long,
+    nbrs: Array[Long],
+    wts: Array[Double],
+    etypes: Array[Int])
+
 /** A walker in flight (reference include/walk.hpp:31-50): `prevV` carries
   * second-order state (node2vec's previous_vertex). */
 final case class WalkerRow(walkerId: Long, step: Int, curV: Long, prevV: Long)

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The image path is REAL end-to-end: [[syntheticAssets]] emits valid
-  * deterministic PNGs ([[Png]]) and [[DefaultCodec]] decodes them with
-  * the JDK's javax.imageio decoder — pixels, dimensions and histograms
-  * come from an actual decode of actual image bytes. Audio/video codecs
-  * are NOT available in this container, so those kinds keep the clearly-
-  * marked deterministic [[StubCodec]] behind the same [[Codec]] interface
-  * — swap in a JNI/FFmpeg-backed codec at deployment without touching
-  * the pipeline.
+  * The image AND audio paths are REAL end-to-end: [[syntheticAssets]]
+  * emits valid deterministic PNGs ([[Png]]) and PCM WAVs ([[Wav]]), and
+  * [[DefaultCodec]] decodes them with the JDK's own decoders
+  * (javax.imageio / javax.sound.sampled) — pixels, samples, dimensions
+  * and histograms come from an actual decode of actual media bytes.
+  * Video codecs are NOT available in this container, so that kind keeps
+  * the clearly-marked deterministic [[StubCodec]] behind the same
+  * [[Codec]] interface — swap in a JNI/FFmpeg-backed codec at deployment
+  * without touching the pipeline.
   */
 object MultiModal {
 
@@ -49,8 +50,8 @@ object MultiModal {
   }
 
   /** STUB codec — deterministic fake decode: a byte-histogram folded to
-    * `dim` buckets and L1-normalized. Stands in for the real audio/video
-    * decoders (absent in this container); keeps every pipeline test and
+    * `dim` buckets and L1-normalized. Stands in for the real video
+    * decoder (absent in this container); keeps every pipeline test and
     * batch-shape property real. */
   object StubCodec extends Codec {
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): (Array[Float], Long) = {
@@ -62,27 +63,48 @@ object MultiModal {
     }
   }
 
-  /** Production-shape codec: image bytes go through a REAL decoder
-    * (javax.imageio — PNG needs no external jars); the histogram is over
-    * decoded PIXELS, normalized by pixel count. Audio/video fall back to
+  /** Production-shape codec: image and audio bytes go through REAL
+    * decoders (javax.imageio for PNG, javax.sound.sampled for PCM WAV —
+    * both in the JDK, no external jars); the histogram is over decoded
+    * PIXELS / SAMPLES, normalized by their count. Video falls back to
     * [[StubCodec]] until a real decoder is wired at deployment. */
   object DefaultCodec extends Codec {
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): (Array[Float], Long) =
-      if (kind == "image") {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        require(img != null, "image bytes not decodable by ImageIO")
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        val acc = new Array[Float](dim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { acc(raster.getSample(x, y, 0) % dim) += 1f; x += 1 }
-          y += 1
-        }
-        val n = math.max(1, w * h)
-        (acc.map(_ / n), (w.toLong * h))
-      } else StubCodec.decodeFeatures(kind, bytes, dim)
+      kind match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, "image bytes not decodable by ImageIO")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val acc = new Array[Float](dim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { acc(raster.getSample(x, y, 0) % dim) += 1f; x += 1 }
+            y += 1
+          }
+          val n = math.max(1, w * h)
+          (acc.map(_ / n), (w.toLong * h))
+        case "audio" =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected mono 16-bit LE signed PCM, got $fmt")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val acc = new Array[Float](dim)
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+            acc((s & 0xFFFF) % dim) += 1f // bucket the unsigned 16-bit view
+            i += 1
+          }
+          (acc.map(_ / math.max(1, n)), n.toLong)
+        case _ => StubCodec.decodeFeatures(kind, bytes, dim)
+      }
   }
 
   /** Synthesize a deterministic asset table from any (id, text) frame.
@@ -91,8 +113,10 @@ object MultiModal {
     * w, h ∈ [4, 15] and each gray pixel i = h64(id:px:i) mod 256 — all
     * md5-derived, so the oracle replays the decoded pixel stream and the
     * closed-form PNG byte count ([[Png.expectedLength]]) without needing
-    * a PNG codec. Audio/video bytes are the utf-8 payload (opaque
-    * stand-in). */
+    * a PNG codec. Audio-kind assets are REAL PCM WAVs the same way:
+    * n ∈ [64, 255] samples, sample i = h64(id:smp:i) mod 2^16 − 2^15,
+    * byte count 44 + 2·n ([[Wav.expectedLength]]). Video bytes are the
+    * utf-8 payload (opaque stand-in). */
   def syntheticAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -108,14 +132,22 @@ object MultiModal {
         (length(col("text")) * 40L).as("duration_ms"))
       .as[Asset]
       .map { a =>
-        if (a.kind == "image") {
-          import graft.text.TextOps.h64jvm
-          val w = 4 + (h64jvm(s"${a.asset_id}:iw") % 12).toInt
-          val h = 4 + (h64jvm(s"${a.asset_id}:ih") % 12).toInt
-          val px = Array.tabulate(w * h)(i =>
-            (h64jvm(s"${a.asset_id}:px:$i") % 256).toByte)
-          a.copy(bytes = Png.encodeGray(w, h, px), width = w, height = h)
-        } else a
+        import graft.text.TextOps.h64jvm
+        a.kind match {
+          case "image" =>
+            val w = 4 + (h64jvm(s"${a.asset_id}:iw") % 12).toInt
+            val h = 4 + (h64jvm(s"${a.asset_id}:ih") % 12).toInt
+            val px = Array.tabulate(w * h)(i =>
+              (h64jvm(s"${a.asset_id}:px:$i") % 256).toByte)
+            a.copy(bytes = Png.encodeGray(w, h, px), width = w, height = h)
+          case "audio" =>
+            val n = 64 + (h64jvm(s"${a.asset_id}:ns") % 192).toInt
+            val smp = Array.tabulate(n)(i =>
+              ((h64jvm(s"${a.asset_id}:smp:$i") % 65536) - 32768).toShort)
+            a.copy(bytes = Wav.encodePcm16(smp), width = 0, height = 0,
+              duration_ms = n * 1000L / 8000)
+          case _ => a
+        }
       }
   }
 

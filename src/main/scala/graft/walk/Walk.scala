@@ -256,41 +256,19 @@ object Walk {
             inverseCdfSample(col("nbrs"), col("statics"), randSel(portableRng, seed, "s"))
         }
 
-        def truncate(df: DataFrame, step: Int): DataFrame = store match {
-          case Some(s) => s.save(runName, step, df)
-          case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-        }
-        store.foreach(s => checkManifest(s, runName, spark,
+        val run = new DurableRun(spark, store, runName, maxSteps,
           s"generic seed=$seed portable=$portableRng ext=${config.extension} " +
-            s"static=${config.static} startsFp=${startsFingerprint(starts)}"))
-        val resumed: Seq[(Int, DataFrame)] = store match {
-          case Some(s) => s.latest(runName) match {
-            case Some((hi, _)) =>
-              (0 to math.min(hi, maxSteps)).map(i =>
-                (i, spark.read.parquet(s.iterPath(runName, i))))
-            case None => Seq.empty
-          }
-          case None => Seq.empty
-        }
-
+            s"static=${config.static} startsFp=${startsFingerprint(starts)}")
         val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-        var step = 0
-        var frontier: DataFrame = null
-        if (resumed.nonEmpty) {
-          resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
-          System.err.println(s"[graft:$runName] resumed at step=$step")
-        } else {
-          frontier = truncate(
-            starts.select(col("walkerId"), lit(0).as("step"), col("curV")), 0)
-          history += frontier
-        }
+        var (frontier, step) = run.seed(history,
+          starts.select(col("walkerId"), lit(0).as("step"), col("curV")))
         var active = frontier.count()
         while (active > 0 && step < maxSteps) {
           val alive = applyExtension(frontier, config.extension, seed, portableRng)
           val light = active < LightModeThreshold
           val side = if (light) broadcast(alive) else alive
           val adjSide = if (light) pruneAdjToFrontier(adj, alive, "v", "curV") else adj
-          frontier = truncate(side.join(adjSide, side("curV") === adjSide("v"))
+          frontier = run.truncate(side.join(adjSide, side("curV") === adjSide("v"))
             .select(col("walkerId"), (col("step") + 1).as("step"), sampler.as("curV"))
             .filter(col("curV").isNotNull), step + 1)
           history += frontier
@@ -330,35 +308,13 @@ object Walk {
         rand(seed, "a1"), rand(seed, "a2"))
     val dyn = dyn2SampleUdf(config.dynamic2)
 
-    def truncate(df: DataFrame, step: Int): DataFrame = store match {
-      case Some(s) => s.save(runName, step, df)
-      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    }
-    store.foreach(s => checkManifest(s, runName, spark,
+    val run = new DurableRun(spark, store, runName, maxSteps,
       s"generic2 seed=$seed portable=$portableRng ext=${config.extension} " +
-        s"static=${config.static} startsFp=${startsFingerprint(starts)}"))
-    val resumed: Seq[(Int, DataFrame)] = store match {
-      case Some(s) => s.latest(runName) match {
-        case Some((hi, _)) =>
-          (0 to math.min(hi, maxSteps)).map(i =>
-            (i, spark.read.parquet(s.iterPath(runName, i))))
-        case None => Seq.empty
-      }
-      case None => Seq.empty
-    }
-
+        s"static=${config.static} startsFp=${startsFingerprint(starts)}")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var step = 0
-    var frontier: DataFrame = null
-    if (resumed.nonEmpty) {
-      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
-      System.err.println(s"[graft:$runName] resumed at step=$step")
-    } else {
-      frontier = truncate(starts.select(
-        col("walkerId"), lit(0).as("step"), col("curV"),
-        lit(null).cast("long").as("prevV")), 0)
-      history += frontier
-    }
+    var (frontier, step) = run.seed(history, starts.select(
+      col("walkerId"), lit(0).as("step"), col("curV"),
+      lit(null).cast("long").as("prevV")))
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
       val alive = applyExtension(frontier, config.extension, seed, portableRng)
@@ -370,7 +326,7 @@ object Walk {
         else nbrSets
       val withAdj = frontSide.join(adjSide, frontSide("curV") === adjSide("v"))
       val withPrev = withAdj.join(nbrSide, withAdj("prevV") === nbrSide("pv"), "left")
-      frontier = truncate(withPrev.select(
+      frontier = run.truncate(withPrev.select(
           col("walkerId"),
           (col("step") + 1).as("step"),
           when(col("prevV").isNull, firstStep)
@@ -545,7 +501,9 @@ object Walk {
         val scheme = schemesB(schemeId)
         val mask = scheme(step % scheme.length)
         val et = edata.toInt
-        if (et < mask.length && mask(et)) 1.0 else 0.0
+        // et outside [0, |mask|) — including a negative sentinel from a
+        // bad upstream cast — is simply not on the scheme: bias 0
+        if (et >= 0 && et < mask.length && mask(et)) 1.0 else 0.0
       },
       update = (s, _, _, _) => s)
     genericStateful(edges.withColumn("edata", col("etype").cast("long")), starts,
@@ -657,11 +615,62 @@ object Walk {
     }
   }
 
+  /** Shared durable-run scaffolding for the five walk engines (generic /
+    * generic2 / firstOrder / node2vec / metapath): manifest check,
+    * per-step truncate (store append or localCheckpoint), and resume —
+    * reload stored steps 0..min(hi, maxSteps) into the footprint history
+    * and continue from the highest (a store holding MORE steps than this
+    * run's maxSteps is truncated: footprints beyond the requested horizon
+    * must not leak into the result). Randomness keys on (seed, walkerId,
+    * step), so identical params ⇒ a resumed walk is bitwise-identical to
+    * an uninterrupted one (WalkResumeSpec). `params` is by-name: the
+    * fingerprint job only runs for durable walks. */
+  private final class DurableRun(
+      spark: org.apache.spark.sql.SparkSession,
+      store: Option[graft.engine.Iterate.CheckpointStore],
+      runName: String, maxSteps: Int, params: => String) {
+    store.foreach(s => checkManifest(s, runName, spark, params))
+
+    def truncate(df: DataFrame, step: Int): DataFrame = store match {
+      case Some(s) => s.save(runName, step, df)
+      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+
+    private val resumed: Seq[(Int, DataFrame)] = store match {
+      case Some(s) => s.latest(runName) match {
+        case Some((hi, _)) =>
+          (0 to math.min(hi, maxSteps)).map(i =>
+            (i, spark.read.parquet(s.iterPath(runName, i))))
+        case None => Seq.empty
+      }
+      case None => Seq.empty
+    }
+
+    /** Append the resumed steps (or the truncated fresh step-0 frontier)
+      * to `history` and return the (frontier, step) to continue from. */
+    def seed(history: scala.collection.mutable.ArrayBuffer[DataFrame],
+        fresh: => DataFrame): (DataFrame, Int) =
+      if (resumed.nonEmpty) {
+        resumed.foreach { case (_, df) => history += df }
+        val (hi, f) = resumed.last
+        System.err.println(s"[graft:$runName] resumed at step=$hi")
+        (f, hi)
+      } else {
+        val f = truncate(fresh, 0)
+        history += f
+        (f, 0)
+      }
+  }
+
   /** Cheap deterministic fingerprint of a starts table for the manifest
     * (order-insensitive sum of per-row hashes, folded below 2^31 so the
     * sum can't overflow under ANSI arithmetic). */
   private def startsFingerprint(starts: DataFrame): Long =
-    starts.agg(sum(pmod(xxhash64(col("walkerId"), col("curV")), lit(1000000007L))))
+    // coalesce: sum() over zero rows is null — an empty starts table
+    // fingerprints as 0 rather than NPEing before the (empty) walk runs
+    starts.agg(coalesce(
+        sum(pmod(xxhash64(col("walkerId"), col("curV")), lit(1000000007L))),
+        lit(0L)))
       .head().getLong(0)
 
   // ------------------------------------------ start-distribution index
@@ -673,11 +682,15 @@ object Walk {
     * [[clearStartIndexCache]]. */
   private val startIdxCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, Int), (DataFrame, Long)]()
+      (org.apache.spark.sql.SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), (DataFrame, Long)]()
 
   private def denseIndexOf(verts: DataFrame): (DataFrame, Long) = {
     val spark = verts.sparkSession
-    val key = (spark, verts.queryExecution.analyzed.semanticHash())
+    // full canonicalized plan under structural equality, not the 32-bit
+    // semanticHash — a collision must not serve another table's index
+    // (see GraphOps.adjCache)
+    val key = (spark, verts.queryExecution.analyzed.canonicalized)
     startIdxCache.computeIfAbsent(key, _ => {
       val indexed = graft.derive.Derive.withDenseVid(
           verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
@@ -731,39 +744,12 @@ object Walk {
     def asFp(f: DataFrame) =
       f.select(col("walkerId"), col("step"), col("curV").as("vertex"))
 
-    def truncate(df: DataFrame, step: Int): DataFrame = store match {
-      case Some(s) => s.save(runName, step, df)
-      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    }
-
-    store.foreach(s => checkManifest(s, runName, spark,
+    val run = new DurableRun(spark, store, runName, maxSteps,
       s"firstOrder seed=$seed keepProb=$keepProb portable=$portableRng " +
-        s"startsFp=${startsFingerprint(starts)}"))
-
-    // resume: rebuild the footprint history from the store's complete
-    // steps and continue from the highest one; a store holding MORE steps
-    // than this run's maxSteps is truncated to maxSteps (footprints beyond
-    // the requested horizon must not leak into the result)
-    val resumed: Seq[(Int, DataFrame)] = store match {
-      case Some(s) => s.latest(runName) match {
-        case Some((hi, _)) =>
-          (0 to math.min(hi, maxSteps)).map(i =>
-            (i, spark.read.parquet(s.iterPath(runName, i))))
-        case None => Seq.empty
-      }
-      case None => Seq.empty
-    }
-
+        s"startsFp=${startsFingerprint(starts)}")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var step = 0
-    var frontier: DataFrame = null
-    if (resumed.nonEmpty) {
-      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
-      System.err.println(s"[graft:$runName] resumed at step=$step")
-    } else {
-      frontier = truncate(starts.select(col("walkerId"), lit(0).as("step"), col("curV")), 0)
-      history += frontier
-    }
+    var (frontier, step) = run.seed(history,
+      starts.select(col("walkerId"), lit(0).as("step"), col("curV")))
 
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
@@ -789,7 +775,7 @@ object Walk {
       // plan truncation per step is safe with carried stats: the frontier
       // plan never self-joins, so stats grow linearly, not exponentially
       // (cf. Iterate)
-      frontier = truncate(advanced, step + 1)
+      frontier = run.truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
@@ -1098,41 +1084,15 @@ object Walk {
     val adj = GraphOps.adjacencyCached(edges)
     val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
 
-    def truncate(df: DataFrame, step: Int): DataFrame = store match {
-      case Some(s) => s.save(runName, step, df)
-      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    }
-
-    store.foreach(s => checkManifest(s, runName, spark,
-      s"node2vec seed=$seed p=$p q=$q portable=$portableRng " +
-        s"startsFp=${startsFingerprint(starts)}"))
-
     // mid-walk resume: the per-step frontier snapshots carry prevV, so a
     // re-run with the same store continues the second-order walk exactly
-    // (randomness keys on (seed, walkerId, step) only); reloaded history
-    // is capped at this run's maxSteps
-    val resumed: Seq[(Int, DataFrame)] = store match {
-      case Some(s) => s.latest(runName) match {
-        case Some((hi, _)) =>
-          (0 to math.min(hi, maxSteps)).map(i =>
-            (i, spark.read.parquet(s.iterPath(runName, i))))
-        case None => Seq.empty
-      }
-      case None => Seq.empty
-    }
-
+    val run = new DurableRun(spark, store, runName, maxSteps,
+      s"node2vec seed=$seed p=$p q=$q portable=$portableRng " +
+        s"startsFp=${startsFingerprint(starts)}")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var step = 0
-    var frontier: DataFrame = null
-    if (resumed.nonEmpty) {
-      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
-      System.err.println(s"[graft:$runName] resumed at step=$step")
-    } else {
-      frontier = truncate(starts.select(
-        col("walkerId"), lit(0).as("step"), col("curV"),
-        lit(null).cast("long").as("prevV")), 0)
-      history += frontier
-    }
+    var (frontier, step) = run.seed(history, starts.select(
+      col("walkerId"), lit(0).as("step"), col("curV"),
+      lit(null).cast("long").as("prevV")))
 
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
@@ -1160,7 +1120,7 @@ object Walk {
               lit(p), lit(q), randSel(portableRng, seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
         .filter(col("curV").isNotNull)
-      frontier = truncate(advanced, step + 1)
+      frontier = run.truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
@@ -1209,7 +1169,7 @@ object Walk {
         var i = 0
         while (i < nbrs.size) {
           val et = etypes(i)
-          if (et < mask.length && mask(et)) { an += nbrs(i); aw += wts(i) }
+          if (et >= 0 && et < mask.length && mask(et)) { an += nbrs(i); aw += wts(i) }
           i += 1
         }
         var total = 0.0
@@ -1227,39 +1187,18 @@ object Walk {
 
     val nSchemes = schemes.size
 
-    def truncate(df: DataFrame, step: Int): DataFrame = store match {
-      case Some(s) => s.save(runName, step, df)
-      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    }
     // manifest includes a structural fingerprint of the scheme masks —
-    // resuming under different schemes would silently mix walk families
-    store.foreach(s => checkManifest(s, runName, spark,
-      s"metapath seed=$seed portable=$portableRng " +
-        s"schemes=${schemes.map(_.map(_.map(b => if (b) '1' else '0').mkString)
-          .mkString("+")).mkString(",")} startsFp=${startsFingerprint(starts)}"))
+    // resuming under different schemes would silently mix walk families;
     // the per-step snapshots carry schemeId, so a resume continues each
     // walker under its scheme exactly (randomness keys on walkerId, step)
-    val resumed: Seq[(Int, DataFrame)] = store match {
-      case Some(s) => s.latest(runName) match {
-        case Some((hi, _)) =>
-          (0 to math.min(hi, maxSteps)).map(i =>
-            (i, spark.read.parquet(s.iterPath(runName, i))))
-        case None => Seq.empty
-      }
-      case None => Seq.empty
-    }
-
+    val run = new DurableRun(spark, store, runName, maxSteps,
+      s"metapath seed=$seed portable=$portableRng " +
+        s"schemes=${schemes.map(_.map(_.map(b => if (b) '1' else '0').mkString)
+          .mkString("+")).mkString(",")} startsFp=${startsFingerprint(starts)}")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var step = 0
-    var frontier: DataFrame = null
-    if (resumed.nonEmpty) {
-      resumed.foreach { case (i, df) => history += df; step = i; frontier = df }
-      System.err.println(s"[graft:$runName] resumed at step=$step")
-    } else {
-      frontier = truncate(starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
-        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId")), 0)
-      history += frontier
-    }
+    var (frontier, step) = run.seed(history,
+      starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId")))
 
     var active = frontier.count()
     while (active > 0 && step < maxSteps) {
@@ -1273,7 +1212,7 @@ object Walk {
             col("schemeId"), col("step"), randSel(portableRng, seed, "mp")).as("curV"),
           col("schemeId"))
         .filter(col("curV").isNotNull)
-      frontier = truncate(advanced, step + 1)
+      frontier = run.truncate(advanced, step + 1)
       history += frontier
       step += 1
       active = frontier.count()
@@ -1282,6 +1221,136 @@ object Walk {
     adj.unpersist()
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
       .reduce(_ unionAll _)
+  }
+
+  /** Metapath walk with LOCAL CHAINING — the [[firstOrderChained]] kernel
+    * carrying each walker's schemeId and masking the in-bucket CSR by the
+    * scheme's per-step edge-type mask (reference src/apps/metascheme.hpp:
+    * 36-63 keeps the same scheme state in its walker messages). Inside a
+    * bucket a walker chains masked inverse-CDF steps with zero
+    * communication; only bucket-crossers re-shuffle, carrying just their
+    * (int) schemeId — no array state. Distributionally identical to
+    * [[metapath]] (same masked weights), not bit-identical: the chained
+    * RNG keys on splitmix64(seed, walker, step) like the other chained
+    * kernels, so results are deterministic across parallelism and bucket
+    * counts. Walkers with zero allowed mass at a step terminate, exactly
+    * as the join-based sampler does. */
+  def metapathChained(
+      edges: DataFrame,               // (src, dst, weight, etype)
+      starts: DataFrame,              // (walkerId, curV)
+      schemes: Seq[Seq[Seq[Boolean]]],
+      maxSteps: Int,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets else math.max(spark.sparkContext.defaultParallelism * 2, 4)
+    val maxV = edges.agg(greatest(max("src"), max("dst"))).head().getLong(0)
+    val rangeSize = math.max(1L, maxV / nBuckets + 1)
+
+    // typed bucketed CSR: sort_array orders by dst like the join-based
+    // metapath's sub-adjacency, so the masked inverse-CDF walks the same
+    // support order
+    val adjDf = edges
+      .groupBy(col("src").as("v"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("weight"), col("etype")))).as("adjl"))
+      .select(col("v"), col("adjl.dst").as("nbrs"), col("adjl.weight").as("wts"),
+        col("adjl.etype").as("etypes"))
+      .as[graft.model.TypedAdjRow]
+      .map(a => (a.v / rangeSize, a))
+      .toDF("bucket", "adj")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adjDf.count()
+    val adjB = adjDf.as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+
+    val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
+    val nSchemes = schemes.size
+
+    // frontier: (walkerId, step, curV, schemeId)
+    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
+      .as[(Long, Int, Long, Int)].localCheckpoint(true)
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.toDF("walkerId", "step", "curV", "schemeId")
+        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
+
+    var outer = 0
+    var active = frontier.count()
+    while (active > 0 && outer <= maxSteps) {
+      val grouped = frontier.groupByKey(_._3 / rangeSize)
+      // bucket pruning — see firstOrderChained (exact Long division,
+      // literal IN-set from the cheap checkpointed frontier)
+      val adjRound =
+        if (outer >= 1 || active < BucketPruneThreshold) {
+          val live = frontier.map(_._3 / rangeSize).distinct().collect()
+          adjDf.filter(col("bucket").isin(live: _*))
+            .as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+        } else adjB
+      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
+        val csr = new scala.collection.mutable.HashMap[Long, graft.model.TypedAdjRow]
+        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+        ws.flatMap { case (walkerId, step0, v0, schemeId) =>
+          val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Boolean)]()
+          val scheme = schemesB(schemeId)
+          var step = step0
+          var cur = v0
+          var done = false
+          while (!done && step < maxSteps && cur / rangeSize == bucket) {
+            csr.get(cur) match {
+              case None => done = true // dangling: terminate
+              case Some(a) =>
+                val mask = scheme(step % scheme.length)
+                val n = a.nbrs.length
+                // masked inverse-CDF over the allowed sub-adjacency
+                var total = 0.0
+                var i = 0
+                while (i < n) {
+                  val et = a.etypes(i)
+                  if (et >= 0 && et < mask.length && mask(et)) total += a.wts(i)
+                  i += 1
+                }
+                if (total <= 0.0) done = true // no allowed mass: terminate
+                else {
+                  val dart = jvmRand(seed, walkerId, step, 5) * total
+                  var cum = 0.0
+                  var sel = -1
+                  var lastAllowed = -1
+                  i = 0
+                  while (i < n && sel < 0) {
+                    val et = a.etypes(i)
+                    if (et >= 0 && et < mask.length && mask(et)) {
+                      lastAllowed = i
+                      cum += a.wts(i)
+                      if (cum > dart) sel = i
+                    }
+                    i += 1
+                  }
+                  if (sel < 0) sel = lastAllowed // fp round-off: last allowed
+                  step += 1
+                  cur = a.nbrs(sel)
+                  rows += ((walkerId, step, cur, schemeId, false)) // footprint
+                }
+            }
+          }
+          if (!done && step < maxSteps && cur / rangeSize != bucket)
+            rows += ((walkerId, step, cur, schemeId, true)) // crossed: re-shuffle
+          rows
+        }
+      }.toDF("walkerId", "step", "vertex", "schemeId", "moved")
+      val outT = truncateReal(out)
+
+      history += outT.filter(!col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex"))
+      frontier = outT.filter(col("moved"))
+        .select(col("walkerId"), col("step"), col("vertex").as("curV"), col("schemeId"))
+        .as[(Long, Int, Long, Int)].localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      outer += 1
+      active = frontier.count()
+      System.err.println(s"[graft:chain-mp] outer=$outer active=$active")
+    }
+    adjDf.unpersist(false)
+    history.reduce(_ unionAll _)
   }
 
   /** Epoched walk (reference "walk rate", include/walk.hpp:140-144,

@@ -116,6 +116,72 @@ class ChainSpec extends SparkSpec {
     assert(sqErr / n < 0.002, s"mean sqErr=${sqErr / n} over $n triples")
   }
 
+  test("chained metapath: deterministic across parallelism/buckets, scheme-respecting") {
+    val tg = g.withColumn("etype", pmod(col("src") + col("dst"), lit(3)).cast("int"))
+    val schemes = Seq(
+      Seq(Seq(true, false, false), Seq(false, true, true)),
+      Seq(Seq(true, true, false)))
+    val starts = Walk.equalStarts(tg, 60)
+    val a = Walk.metapathChained(tg, starts, schemes, maxSteps = 5, buckets = 2)
+      .orderBy("walkerId", "step").collect().toSeq
+    val b = Walk.metapathChained(tg.repartition(7), starts, schemes, maxSteps = 5,
+        buckets = 5)
+      .orderBy("walkerId", "step").collect().toSeq
+    assert(a === b)
+    // every step honors its walker's scheme mask (etype = (src+dst) mod 3)
+    val nSchemes = schemes.size
+    a.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).groupBy(_._1)
+      .foreach { case (w, rows) =>
+        val scheme = schemes((w % nSchemes).toInt)
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2) === sorted.indices, s"walker $w steps not contiguous")
+        sorted.sliding(2).foreach { pr =>
+          if (pr.size == 2) {
+            val et = ((pr(0)._3 + pr(1)._3) % 3).toInt
+            val stepTaken = pr(0)._2
+            assert(scheme(stepTaken % scheme.length)(et),
+              s"walker $w took disallowed etype $et at step $stepTaken")
+          }
+        }
+      }
+  }
+
+  test("chained metapath first-step frequencies match the masked-weight distribution") {
+    val tg = g.withColumn("etype", pmod(col("src") + col("dst"), lit(2)).cast("int"))
+    val schemes = Seq(Seq(Seq(true, false)), Seq(Seq(false, true)))
+    val edges = collectEdges(g)
+    def et(u: Long, v: Long): Int = ((u + v) % 2).toInt
+    // exact masked P(next | scheme, cur)
+    def expP(scheme: Int, cur: Long, nxt: Long): Double = {
+      val allowed = edges.filter(e => e._1 == cur && et(e._1, e._2) == scheme)
+      val tot = allowed.map(_._3).sum
+      if (tot <= 0) 0.0 else allowed.filter(_._2 == nxt).map(_._3).sum / tot
+    }
+    val nV = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val fp = Walk.metapathChained(tg, Walk.equalStarts(tg, nV * 3000L), schemes,
+      maxSteps = 1)
+    val rows = fp.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val starts0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val steps1 = rows.filter(_._2 == 1)
+    val ctx = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    val cnt = scala.collection.mutable.Map[(Int, Long, Long), Long]().withDefaultValue(0L)
+    steps1.foreach { case (w, _, v1) =>
+      val s = (w % 2).toInt
+      val v0 = starts0(w)
+      ctx((s, v0)) += 1
+      cnt((s, v0, v1)) += 1
+    }
+    var sqErr = 0.0
+    var n = 0
+    for (((s, v0, v1), c) <- cnt if ctx((s, v0)) >= 300) {
+      val got = c.toDouble / ctx((s, v0))
+      sqErr += math.pow(got - expP(s, v0, v1), 2)
+      n += 1
+    }
+    assert(n > 10, s"too few well-sampled contexts: $n")
+    assert(sqErr / n < 0.002, s"mean sqErr=${sqErr / n} over $n contexts")
+  }
+
   test("chaining actually chains on chain-shaped graphs (few outer rounds)") {
     import spark.implicits._
     // one long path graph: all steps should complete in ~1 outer round

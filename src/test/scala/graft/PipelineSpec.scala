@@ -138,7 +138,7 @@ class PipelineSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("embedding length")))
   }
 
-  test("multimodal: image kind is a REAL PNG decoded by javax.imageio; stub only for audio/video") {
+  test("multimodal: image/audio kinds are REAL PNG/WAV decoded by the JDK; stub only for video") {
     val assets = MultiModal.syntheticAssets(corpus)
     val images = assets.filter(_.kind == "image").collect()
     assert(images.nonEmpty)
@@ -156,6 +156,27 @@ class PipelineSpec extends SparkSpec {
         assert(r.getSample(i % a.width, i / a.width, 0) === expected)
       }
     }
+    val audios = assets.filter(_.kind == "audio").collect()
+    assert(audios.nonEmpty)
+    audios.foreach { a =>
+      // the bytes are a valid WAV: the real JDK decoder reproduces the
+      // deterministic generator's sample stream
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.bytes))
+      val n = in.getFrameLength.toInt
+      val expectedN =
+        64 + (graft.text.TextOps.h64jvm(s"${a.asset_id}:ns") % 192).toInt
+      assert(n === expectedN)
+      assert(a.bytes.length.toLong === graft.multimodal.Wav.expectedLength(n))
+      assert(a.duration_ms === n * 1000L / 8000)
+      val data = in.readAllBytes()
+      for (i <- 0 until math.min(10, n)) {
+        val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+        val expected =
+          ((graft.text.TextOps.h64jvm(s"${a.asset_id}:smp:$i") % 65536) - 32768).toShort
+        assert(s === expected, s"asset ${a.asset_id} sample $i")
+      }
+    }
     val feats = MultiModal.extractFeatures(assets, dim = 16).collect()
     assert(feats.length === corpus.count())
     assert(feats.forall(_.features.length == 16))
@@ -165,6 +186,11 @@ class PipelineSpec extends SparkSpec {
     val fById = feats.map(f => f.asset_id -> f).toMap
     images.foreach { a =>
       assert(fById(a.asset_id).n_units === a.width.toLong * a.height)
+      assert(fById(a.asset_id).n_bytes === a.bytes.length.toLong)
+    }
+    // audio features count decoded SAMPLES (n_units = frames), not bytes
+    audios.foreach { a =>
+      assert(fById(a.asset_id).n_units === (a.bytes.length - 44L) / 2)
       assert(fById(a.asset_id).n_bytes === a.bytes.length.toLong)
     }
     // deterministic across runs
