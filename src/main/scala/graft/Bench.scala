@@ -87,6 +87,16 @@ object Bench {
     }
     secs += "node2vec_chained" -> tN2vChain
 
+    // heterogeneous walk: edge types derived from the endpoint parity,
+    // two schemes — exercises the typed-CSR chained kernel
+    val (_, tMetaChain) = time {
+      val typed = edges.withColumn("etype", pmod(col("src") + col("dst"), lit(2)).cast("int"))
+      Walk.metapathChained(typed, Walk.equalStarts(edges, 5000L),
+        Seq(Seq(Seq(true, false), Seq(true, true)), Seq(Seq(false, true))),
+        maxSteps = 6).count()
+    }
+    secs += "metapath_chained" -> tMetaChain
+
     // walk phases share the session CSR caches (built once, reused by all
     // four); release them before the text/ANN phases
     graft.graph.GraphOps.clearAdjacencyCache()

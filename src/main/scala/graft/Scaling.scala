@@ -109,9 +109,19 @@ object Scaling {
   /** Child mode: run one parallelism level in THIS JVM and dump phases as
     * TSV. Each level runs in a fresh JVM so the 4N measurement doesn't
     * inherit the N run's JIT warmup / populated caches (measured: shared-
-    * JVM runs skew efficiency upward). */
+    * JVM runs skew efficiency upward).
+    *
+    * Shuffle partitions are FIXED (data-sized, 32 for the 33M-edge
+    * corpus) at every level — the r2/r3-campaign protocol derived them
+    * from the core count, which made the N level run a DIFFERENT plan
+    * than the 4N level: at 1 shuffle partition the partial aggregations
+    * collapse everything map-side (pagerank shuffled 7.6 GB at local[1]
+    * vs 13.0 GB at local[4]), so the 4N level did measurably more work
+    * and "efficiency" conflated plan-work inflation with core scaling.
+    * A cluster holds the plan constant and scales executors; so does
+    * this protocol now. */
   private def childMain(nConvs: Long, cpus: Int, out: String): Unit = {
-    val spark = Bench.session(cpus.toString)
+    val spark = Bench.session(cpus.toString, 32)
     spark.sparkContext.setLogLevel("WARN")
     val phases = try workload(spark, nConvs) finally spark.stop()
     val tsv = phases.map(p =>

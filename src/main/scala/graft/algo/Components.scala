@@ -100,17 +100,36 @@ object Components {
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
 
-    def step(state: DataFrame, iter: Int): DataFrame =
-      smallStar(largeStar(state), smallDedup)
+    // the round's fingerprint rides the truncation write as an observe()
+    // metric: the old separate fingerprint(next) agg re-scanned the whole
+    // just-written state from parquet once per round — at 33M edges that
+    // second full-state job was ~10% of the round
+    var curObs: Option[org.apache.spark.sql.Observation] = None
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation(s"$runName-fp-$iter")
+      curObs = Some(obs)
+      smallStar(largeStar(state), smallDedup).observe(obs,
+        count(lit(1)).as("cnt"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("fp"))
+    }
 
     // converged ⇔ the edge set is stable across one full round; the
-    // previous round's fingerprint is carried so each check costs one agg
+    // previous round's fingerprint is carried so each check is metric
+    // reads only (the state0 fingerprint is the one explicit agg)
     var prevFp: Option[(Long, java.math.BigDecimal)] = None
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean = {
       val pf = prevFp.getOrElse(fingerprint(prev))
-      val nf = fingerprint(next)
+      val m = curObs.get.get // populated by the truncation write action
+      val nf = (m("cnt").asInstanceOf[Long],
+        m("fp") match {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+        })
       prevFp = Some(nf)
-      pf == nf
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive and
+      // the agg-path and metric-path decimals can differ in scale
+      pf._1 == nf._1 && pf._2.compareTo(nf._2) == 0
     }
 
     val stars = Iterate.run(runName, state0, step, converged, maxIter, None, store, memTruncate)

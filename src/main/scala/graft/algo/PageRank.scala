@@ -65,6 +65,10 @@ object PageRank {
     val r0 = vflag.select(col("v"), col("hasOut"),
       lit(1.0 / n).as("rank"), lit(1.0).as("delta"))
 
+    // the max|Δ| convergence metric rides the truncation write as an
+    // observe() metric — the check is a metric read, not a second scan of
+    // the just-written checkpoint
+    var curObs: Option[org.apache.spark.sql.Observation] = None
     def step(ranks: DataFrame, iter: Int): DataFrame = {
       val dangling = ranks.filter(!col("hasOut"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
@@ -72,6 +76,8 @@ object PageRank {
         .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("p") * col("rank")).as("c"))
+      val obs = new org.apache.spark.sql.Observation(s"$runName-delta-$iter")
+      curObs = Some(obs)
       vflag
         .join(contrib, Seq("v"), "left")
         .join(ranks.select(col("v"), col("rank").as("prevRank")), Seq("v"))
@@ -82,11 +88,11 @@ object PageRank {
           col("prevRank"))
         .withColumn("delta", abs(col("rank") - col("prevRank")))
         .drop("prevRank")
+        .observe(obs, max(col("delta")).as("maxDelta"))
     }
 
-    // next is the checkpoint read-back: the max-delta scan is cheap
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
-      next.agg(max("delta")).head().getDouble(0) < tol
+      curObs.get.get("maxDelta").asInstanceOf[Double] < tol
 
     val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
       .select(col("v"), col("rank"))
