@@ -854,8 +854,8 @@ object Walk {
     var active = frontier.count()
     while (active > 0 && outer <= maxSteps) {
       val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // rounds >= 1 hold only bucket-crossers: ALWAYS prune the CSR down
-      // to their live buckets instead of re-shuffling the whole adjacency
+      // rounds >= 1 hold only bucket-crossers: prune the CSR down to
+      // their live buckets instead of re-shuffling the whole adjacency
       // once per outer round (r2 paid the full exchange per round and it
       // was the worst-scaling phase); round 0 prunes too when the start
       // frontier is already small. The live set (≤ nBuckets ids) is
@@ -864,12 +864,18 @@ object Walk {
       // division that can round ids above 2^53 into the adjacent bucket
       // and silently strand its walkers; (2) a frontier-derived JOIN here
       // would feed frontier stats back into the round's plan and square
-      // sizeInBytes per round (see truncateReal).
+      // sizeInBytes per round (see truncateReal). When the live set still
+      // spans most buckets the prune buys nothing — keep the unfiltered
+      // cached side and skip the filter (A/B at sf0.1: within noise, but
+      // strictly never worse; the win case is the genuinely sparse tail
+      // frontier of later rounds).
       val adjRound =
         if (outer >= 1 || active < BucketPruneThreshold) {
           val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          adjDf.filter(col("bucket").isin(live: _*))
-            .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+          if (live.length < nBuckets / 2)
+            adjDf.filter(col("bucket").isin(live: _*))
+              .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+          else adjB
         } else adjB
       // output rows: (walkerId, step, vertex, moved) — moved=false rows
       // are footprints of chained steps; moved=true rows are walkers
@@ -983,12 +989,16 @@ object Walk {
         }
       val grouped = stepInput.groupByKey(_._3 / rangeSize)
       // bucket pruning — see firstOrderChained (exact Long division,
-      // literal IN-set from the cheap checkpointed frontier)
+      // literal IN-set from the cheap checkpointed frontier; unfiltered
+      // cached side when the live set spans most buckets, preserving
+      // cross-round shuffle-stage reuse)
       val adjRound =
         if (outer >= 1 || active < BucketPruneThreshold) {
           val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          adjDf.filter(col("bucket").isin(live: _*))
-            .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+          if (live.length < nBuckets / 2)
+            adjDf.filter(col("bucket").isin(live: _*))
+              .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+          else adjB
         } else adjB
       val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
         val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
@@ -1280,12 +1290,16 @@ object Walk {
     while (active > 0 && outer <= maxSteps) {
       val grouped = frontier.groupByKey(_._3 / rangeSize)
       // bucket pruning — see firstOrderChained (exact Long division,
-      // literal IN-set from the cheap checkpointed frontier)
+      // literal IN-set from the cheap checkpointed frontier; unfiltered
+      // cached side when the live set spans most buckets, preserving
+      // cross-round shuffle-stage reuse)
       val adjRound =
         if (outer >= 1 || active < BucketPruneThreshold) {
           val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          adjDf.filter(col("bucket").isin(live: _*))
-            .as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+          if (live.length < nBuckets / 2)
+            adjDf.filter(col("bucket").isin(live: _*))
+              .as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+          else adjB
         } else adjB
       val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
         val csr = new scala.collection.mutable.HashMap[Long, graft.model.TypedAdjRow]
