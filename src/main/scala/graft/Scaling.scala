@@ -68,7 +68,8 @@ object Scaling {
     // CC runs to the star fixpoint (deterministic round count — identical
     // at both levels); work is approximate (the edge set shrinks per round)
     phase("cc_conv", "edge-visits") {
-      (Components.run(edges).count(), m * Iterate.lastIterations)
+      (Components.run(edges).count(),
+        m * Iterate.lastIterations * Components.RoundsPerIteration)
     }
 
     val nWalkers = math.max(10000L, nConvs)

@@ -37,6 +37,12 @@ import graft.graph.GraphOps
   */
 object Components {
 
+  /** Star-contraction rounds per [[Iterate]] iteration (work accounting:
+    * edge-visits per iteration = |E| × this). Kept at 1 — see the A/B
+    * note in [[run]]: fusing rounds recomputes the un-truncated
+    * intermediate state and loses. */
+  val RoundsPerIteration = 1
+
   /** One large-star phase over the canonical edge set/multiset. No
     * dedup: the phase emits exactly one row per input row (the v > u side
     * of each symmetrized edge), so the multiset never grows, and min/agg
@@ -104,6 +110,14 @@ object Components {
     // metric: the old separate fingerprint(next) agg re-scanned the whole
     // just-written state from parquet once per round — at 33M edges that
     // second full-state job was ~10% of the round
+    // ONE star round per truncation. A/B (r3, sf0.1): fusing TWO rounds
+    // per truncation to halve the barrier count made CC 46% SLOWER
+    // (12.3 → 18.0 s) — each star phase references its input under two
+    // different projections (the symmetrized union and the min-agg), so
+    // the un-truncated intermediate round is a 4-stage subtree that
+    // ReuseExchange cannot dedup and it recomputes ~2×; the parquet
+    // round-trip IS the cheap materialization that makes every reference
+    // to the round's input a file scan.
     var curObs: Option[org.apache.spark.sql.Observation] = None
     def step(state: DataFrame, iter: Int): DataFrame = {
       val obs = new org.apache.spark.sql.Observation(s"$runName-fp-$iter")
