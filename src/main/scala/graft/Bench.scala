@@ -99,8 +99,7 @@ object Bench {
 
     // walk phases share the session CSR caches (built once, reused by all
     // four); release them before the text/ANN phases
-    graft.graph.GraphOps.clearAdjacencyCache()
-    Walk.clearStartIndexCache()
+    Walk.releaseCaches()
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (_, tLsh) = time { TextOps.minhashLshPairs(docs).count() }

@@ -87,8 +87,7 @@ object Scaling {
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense
     // phase below runs with the same memory budget at every level
-    graft.graph.GraphOps.clearAdjacencyCache()
-    Walk.clearStartIndexCache()
+    Walk.releaseCaches()
 
     // compute-dense phase (FLOP-bound, not memory-bandwidth-bound):
     // brute-force cosine over deterministic synthetic embeddings

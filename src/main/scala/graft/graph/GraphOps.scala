@@ -118,6 +118,12 @@ object GraphOps {
   def adjacencyCached(edges: DataFrame): DataFrame = {
     val key = (edges.sparkSession, edges.queryExecution.analyzed.canonicalized)
     adjCache.computeIfAbsent(key, _ => {
+      // session-lifetime cache: entries pin MEMORY_AND_DISK storage until
+      // clearAdjacencyCache — log growth so a long-lived session walking
+      // many distinct graphs can see the accumulation (ADVICE r3)
+      System.err.println(
+        s"[graft:csr] building adjacency cache entry #${adjCache.size + 1} " +
+          "(release via GraphOps.clearAdjacencyCache / Walk.releaseCaches)")
       val df = adjacency(edges).toDF()
         .repartition(col("v"))
         .sortWithinPartitions("v")
@@ -134,6 +140,9 @@ object GraphOps {
     import spark.implicits._
     val key = (spark, edges.queryExecution.analyzed.canonicalized, rangeSize)
     bucketAdjCache.computeIfAbsent(key, _ => {
+      System.err.println(
+        s"[graft:csr] building bucketed-adjacency cache entry #${bucketAdjCache.size + 1} " +
+          "(release via GraphOps.clearAdjacencyCache / Walk.releaseCaches)")
       val df = adjacency(edges)
         .map(a => (a.v / rangeSize, a))
         .toDF("bucket", "adj")

@@ -83,7 +83,9 @@ object MultiModal {
             while (x < w) { acc(raster.getSample(x, y, 0) % dim) += 1f; x += 1 }
             y += 1
           }
-          val n = math.max(1, w * h)
+          // Long product: an image with >= 2^31 pixels would overflow an
+          // Int divisor into negative/garbage features (ADVICE r3)
+          val n = math.max(1L, w.toLong * h)
           (acc.map(_ / n), (w.toLong * h))
         case "audio" =>
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(

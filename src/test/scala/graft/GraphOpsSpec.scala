@@ -58,6 +58,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(epoched === one)
   }
 
+  test("epoched node2vec == single-run node2vec (second-order state per epoch)") {
+    val g = randomEdges(vNum = 40, eNum = 220, seed = 73)
+    val one = Walk.node2vec(g, Walk.equalStarts(g, 60), maxSteps = 4, p = 2.0, q = 0.5)
+      .orderBy("walkerId", "step").collect().toSeq
+    def startsFor(b: Long, e: Long) =
+      Walk.equalStarts(g, 60).filter(col("walkerId") >= b && col("walkerId") < e)
+    val epoched = Walk.node2vecEpoched(g, startsFor, 60, epochs = 3, maxSteps = 4,
+        p = 2.0, q = 0.5)
+      .orderBy("walkerId", "step").collect().toSeq
+    assert(epoched === one)
+  }
+
+  test("epoched metapath == single-run metapath (scheme keyed on absolute walkerId)") {
+    val g = randomEdges(vNum = 40, eNum = 220, seed = 77)
+      .withColumn("etype", pmod(col("src") + col("dst"), lit(2)).cast("int"))
+    val schemes = Seq(Seq(Seq(true, false), Seq(true, true)), Seq(Seq(false, true)))
+    val one = Walk.metapath(g, Walk.equalStarts(g, 60), schemes, maxSteps = 4)
+      .orderBy("walkerId", "step").collect().toSeq
+    def startsFor(b: Long, e: Long) =
+      Walk.equalStarts(g, 60).filter(col("walkerId") >= b && col("walkerId") < e)
+    val epoched = Walk.metapathEpoched(g, startsFor, 60, epochs = 3, schemes, maxSteps = 4)
+      .orderBy("walkerId", "step").collect().toSeq
+    assert(epoched === one)
+  }
+
   test("personalized starts cycle through the start-vertex set") {
     val sv = Seq(7L, 13L, 21L).toDF("v")
     val starts = Walk.personalizedStarts(sv, 9).collect()
