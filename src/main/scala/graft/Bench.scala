@@ -111,8 +111,17 @@ object Bench {
     }
     secs += "ann_topk" -> tAnn
 
+    // leave the session clean for the next repeat: every repeat pays the
+    // same cache builds (only JIT state is shared across repeats)
+    edges.unpersist(false)
+    Walk.releaseCaches()
+
     Result(secs, eCount, prIters, tPr, chainSteps, tChain, ccIters, ccConverged)
   }
+
+  /** Median of a sample (lower-middle for even n — a real observed value,
+    * not an interpolation). */
+  def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
 
   def session(cpus: String): SparkSession = session(cpus, cpus.toInt)
 
@@ -140,14 +149,27 @@ object Bench {
     val parts = math.max(8, math.min(cpus.toInt, (bytes / (4 << 20)).toInt))
     val spark = session(cpus, parts)
     spark.sparkContext.setLogLevel("WARN")
-    val r = headline(spark, sfDir)
-    val qs = r.seconds.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = r.seconds.values.sum
-    val edgesPerSec = r.edges.toDouble * r.prIters / r.prSec
-    val stepsPerSec = r.walkSteps / r.walkSec
+    // repeats + per-query MEDIANS (VERDICT r3 #2): a single sample cannot
+    // distinguish VM noise from a real regression — r3's +8-10% "uniform
+    // slowdown" included untouched code and reversed on re-measurement
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val runs = (1 to repeats).map { i =>
+      System.err.println(s"[graft:bench] repeat $i/$repeats")
+      headline(spark, sfDir)
+    }
+    val r = runs.head // structural fields (edges, iters) are deterministic
+    val keys = r.seconds.keys.toSeq.sorted
+    def med(k: String) = median(runs.map(_.seconds(k)))
+    val qs = keys.map(k => f""""$k":${med(k)}%.3f""").mkString("{", ",", "}")
+    val qsMin = keys.map(k => f""""$k":${runs.map(_.seconds(k)).min}%.3f""")
+      .mkString("{", ",", "}")
+    val total = keys.map(med).sum
+    val prSecMed = median(runs.map(_.prSec))
+    val walkSecMed = median(runs.map(_.walkSec))
+    val edgesPerSec = r.edges.toDouble * r.prIters / prSecMed
+    val stepsPerSec = r.walkSteps / walkSecMed
     println(
-      f"""{"metric":"edges_per_sec_pagerank","value":$edgesPerSec%.0f,"unit":"edges/sec","queries":$qs,"sf":"$sfDir","total_sec":$total%.2f,"edges":${r.edges},"pagerank_iters":${r.prIters},"pagerank_conv_sec":${r.prSec}%.2f,"walk_steps_per_sec":$stepsPerSec%.0f,"cc_iters":${r.ccIters},"cc_converged":${r.ccConverged},"cpus":"$cpus"}""")
+      f"""{"metric":"edges_per_sec_pagerank","value":$edgesPerSec%.0f,"unit":"edges/sec","queries":$qs,"queries_min":$qsMin,"repeats":$repeats,"sf":"$sfDir","total_sec":$total%.2f,"edges":${r.edges},"pagerank_iters":${r.prIters},"pagerank_conv_sec":$prSecMed%.2f,"walk_steps_per_sec":$stepsPerSec%.0f,"cc_iters":${r.ccIters},"cc_converged":${r.ccConverged},"cpus":"$cpus"}""")
     spark.stop()
   }
 }

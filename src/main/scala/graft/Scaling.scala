@@ -83,6 +83,20 @@ object Scaling {
       val n = Walk.firstOrderChained(edges, starts, maxSteps = walkLen).count() - nWalkers
       ((), n)
     }
+    // second-order chained kernel (VERDICT r3 #5: all prior scale evidence
+    // was first-order; the reference's headline table is node2vec-heavy).
+    // Fewer walkers than deepwalk: each crosser row carries prevV (+ a
+    // bounded prevNbrs array), so the per-walker state is heavier.
+    val n2vWalkers = math.max(10000L, nConvs / 4)
+    val n2vStarts = Walk.equalStarts(edges, n2vWalkers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    n2vStarts.count()
+    phase("node2vec_chained", "steps") {
+      val n = Walk.node2vecChained(edges, n2vStarts, maxSteps = walkLen,
+        p = 2.0, q = 0.5).count() - n2vWalkers
+      ((), n)
+    }
+    n2vStarts.unpersist(false)
     starts.unpersist(false)
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense

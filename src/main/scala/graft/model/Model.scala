@@ -55,6 +55,16 @@ final case class TypedAdjRow(
     wts: Array[Double],
     etypes: Array[Int])
 
+/** Adjacency row carrying opaque per-edge user data for the stateful
+  * walk engines (reference `edge_data_t`, include/type.hpp:43-62). Like
+  * [[TypedAdjRow]] there is no alias table: the user bias changes the
+  * sampled support per step, so sampling is filtered inverse-CDF. */
+final case class EdataAdjRow(
+    v: Long,
+    nbrs: Array[Long],
+    wts: Array[Double],
+    edatas: Array[Long])
+
 /** A walker in flight (reference include/walk.hpp:31-50): `prevV` carries
   * second-order state (node2vec's previous_vertex). */
 final case class WalkerRow(walkerId: Long, step: Int, curV: Long, prevV: Long)

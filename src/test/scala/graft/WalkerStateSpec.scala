@@ -183,6 +183,29 @@ class WalkerStateSpec extends SparkSpec {
     assert(bounded.nonEmpty)
   }
 
+  test("chained stateful engine == join stateful engine, bitwise, states included") {
+    val edges = randomEdges(vNum = 100, eNum = 600, seed = 28)
+    val starts = Walk.equalStarts(edges, 300)
+    implicit val enc = org.apache.spark.sql.Encoders.product[HashState]
+    def fpSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("walkerId"), col("step"), col("vertex"),
+          col("state.hash"), col("state.prev"))
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    // state-dependent Pe exercises the keep-draw stream alignment too
+    val cfg = hashConfig(biased = true).copy(
+      extension = (_: Int, st: HashState, _: Long) =>
+        if (java.lang.Long.remainderUnsigned(st.hash, 7) == 0) 0.0 else 0.95)
+    val join = fpSet(Walk.genericStateful(edges, starts, maxSteps = 10, cfg, seed = 83))
+    val chained5 = fpSet(Walk.genericStatefulChained(edges, starts, maxSteps = 10, cfg,
+      seed = 83, buckets = 5))
+    val chained2 = fpSet(Walk.genericStatefulChained(edges, starts, maxSteps = 10, cfg,
+      seed = 83, buckets = 2))
+    assert(chained5 === join)
+    assert(chained2 === join)
+    checkHashChain(Walk.genericStatefulChained(edges, starts, maxSteps = 10,
+      hashConfig(biased = true), seed = 83, buckets = 5))
+  }
+
   test("genericStateful durable store: kill/resume is bitwise-identical (state persisted)") {
     val edges = randomEdges(vNum = 80, eNum = 500, seed = 27)
     val starts = Walk.equalStarts(edges, 250)
