@@ -155,7 +155,13 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val runs = (1 to repeats).map { i =>
       System.err.println(s"[graft:bench] repeat $i/$repeats")
-      headline(spark, sfDir)
+      val r = headline(spark, sfDir)
+      // per-repeat breakdown on stderr: repeat 1 is the COLD sample
+      // (comparable to earlier single-run rounds); later repeats measure
+      // the JIT-warm steady state the medians summarize
+      System.err.println(f"[graft:bench] repeat $i total=${r.seconds.values.sum}%.2f " +
+        r.seconds.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      r
     }
     val r = runs.head // structural fields (edges, iters) are deterministic
     val keys = r.seconds.keys.toSeq.sorted
