@@ -79,24 +79,27 @@ object Scaling {
     starts.count()
     // chained is the engine's default walk path (firstOrder remains in
     // Bench for the per-step-join comparison)
+    // protocol v3: the chained kernels default nBuckets to
+    // defaultParallelism*2, which would make the N level run a DIFFERENT
+    // kernel than the 4N level (4 vs 16 buckets — bigger per-task CSR
+    // maps, different crosser sets) — the same plan-inconstancy class v2
+    // fixed for shuffle partitions. Fix the bucket count like the
+    // partition count: 32 at every level.
     phase("deepwalk_chained", "steps") {
-      val n = Walk.firstOrderChained(edges, starts, maxSteps = walkLen).count() - nWalkers
+      val n = Walk.firstOrderChained(edges, starts, maxSteps = walkLen,
+        buckets = 32).count() - nWalkers
       ((), n)
     }
     // second-order chained kernel (VERDICT r3 #5: all prior scale evidence
     // was first-order; the reference's headline table is node2vec-heavy).
-    // Fewer walkers than deepwalk: each crosser row carries prevV (+ a
-    // bounded prevNbrs array), so the per-walker state is heavier.
-    val n2vWalkers = math.max(10000L, nConvs / 4)
-    val n2vStarts = Walk.equalStarts(edges, n2vWalkers)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    n2vStarts.count()
+    // Same walker count as deepwalk: the first v3 campaign ran nConvs/4
+    // and the phase was too small to measure (18.5 s at N with ~6 s of
+    // fixed per-job latency ⇒ efficiency capped at ~0.6 by overhead).
     phase("node2vec_chained", "steps") {
-      val n = Walk.node2vecChained(edges, n2vStarts, maxSteps = walkLen,
-        p = 2.0, q = 0.5).count() - n2vWalkers
+      val n = Walk.node2vecChained(edges, starts, maxSteps = walkLen,
+        p = 2.0, q = 0.5, buckets = 32).count() - nWalkers
       ((), n)
     }
-    n2vStarts.unpersist(false)
     starts.unpersist(false)
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense
