@@ -1,5 +1,7 @@
 package graft.algo
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.Iterate
@@ -70,6 +72,81 @@ object Components {
     if (dedup) out.distinct() else out
   }
 
+  /** Partition-local contraction pre-pass: range-partition the canonical
+    * edge set by `src`, run a per-partition union-find (union by MINIMUM
+    * id — the local root of every piece is its local min, so composing
+    * with the global star fixpoint preserves exact component ids), and
+    * rewrite edges through the local roots. On transcript graphs the
+    * derivation assigns consecutive dense vids along each conversation,
+    * so a range partition holds nearly every succession edge and whole
+    * conv-chains collapse to single vertices BEFORE the O(log²) global
+    * loop — the same local-aggregation-before-exchange shape as a
+    * map-side combine, applied to connectivity. Kiveris et al. §6.2
+    * describe exactly this "local contraction" optimization. Cost: one
+    * range shuffle + the mapping join; win: the iterated state (and the
+    * per-round barrier) shrinks by the chain compression ratio and the
+    * round count drops with the diameter.
+    *
+    * @return (contracted canonical edge set, mapping v → localRoot with
+    *         only v ≠ root rows) */
+  private[algo] def localContract(state0: DataFrame): (DataFrame, DataFrame) = {
+    val spark = state0.sparkSession
+    import spark.implicits._
+    val mapping = state0.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartitionByRange(col("src"))
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // union by min: root IS the local minimum
+            parent.put(math.max(ra, rb), math.min(ra, rb))
+          }
+        }
+        parent.entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue, find(e.getKey)))
+          .filter { case (v, r) => v != r }
+      }
+      .toDF("v", "root")
+      // ONE root per vertex: a vertex on a range boundary joins a local
+      // piece in EVERY partition that holds one of its edges, and the
+      // duplicate (v, root) rows would multiply the contraction joins and
+      // the final compose (caught by the q_cc oracle: 1005 rows for 1000
+      // vertices). Keeping only min(root) stays connectivity-exact: each
+      // of v's edges rewrites through the kept root, so the dropped
+      // pieces still link to it via every incident edge.
+      .groupBy("v").agg(min("root").as("root"))
+    // real-stats truncation (persist+count, checkpoint, release): the
+    // mapping is referenced three times (both contraction joins + the
+    // final compose, in different actions) and the range partitioner's
+    // sampled bounds should be drawn exactly once
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val cached = mapping.persist(ser)
+    cached.count()
+    val mappingT = cached.localCheckpoint(true, ser)
+    cached.unpersist(false)
+    val srcM = mappingT.select(col("v").as("src"), col("root").as("sroot"))
+    val dstM = mappingT.select(col("v").as("dst"), col("root").as("droot"))
+    val contracted = state0
+      .join(srcM, Seq("src"), "left")
+      .join(dstM, Seq("dst"), "left")
+      .select(coalesce(col("sroot"), col("src")).as("a"),
+        coalesce(col("droot"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+    (contracted, mappingT)
+  }
+
   /** Exact multiset fingerprint of an edge set: (count, Σ xxhash64). Two
     * consecutive rounds with equal fingerprints ⇒ fixpoint (the iteration
     * is deterministic, so equality of the 128-bit aggregate is equality of
@@ -97,14 +174,27 @@ object Components {
       // naturally contracts duplicated star edges, so the multiset stays
       // bounded by |E| and dedup buys nothing but a shuffle
       smallDedup: Boolean = false,
-      memTruncate: Boolean = false): DataFrame = {
+      memTruncate: Boolean = false,
+      // local union-find contraction before the global loop (see
+      // localContract): default ON — it is the 100TB path (shrinks the
+      // iterated state and the round count by the local compression
+      // ratio) and produces identical exact component ids
+      preContract: Boolean = true): DataFrame = {
     val verts = GraphOps.vertices(edges)
 
-    val state0 = edges
+    val canonical = edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
+
+    // preContract consumes the multiset directly (union-find is
+    // duplicate-insensitive and the contracted set closes with its own
+    // distinct), saving the initial dedup shuffle entirely
+    val (state0, mappingOpt) =
+      if (preContract) {
+        val (c, m) = localContract(canonical)
+        (c, Some(m))
+      } else (canonical.distinct(), None)
 
     // the round's fingerprint rides the truncation write as an observe()
     // metric: the old separate fingerprint(next) agg re-scanned the whole
@@ -154,7 +244,18 @@ object Components {
     // fixpoint = stars (root = component min as src); min() is belt and
     // braces for the pre-fixpoint state when strict=false
     val parents = stars.groupBy(col("dst").as("v")).agg(min("src").as("comp"))
-    verts.join(parents, Seq("v"), "left")
-      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+    mappingOpt match {
+      case Some(mapping) =>
+        // compose: v → localRoot → global comp. Both the local root and
+        // the global parent are component minima, so coalescing through
+        // the two levels yields the exact global minimum id.
+        val roots = verts.join(mapping, Seq("v"), "left")
+          .select(col("v"), coalesce(col("root"), col("v")).as("r"))
+        roots.join(parents.withColumnRenamed("v", "r"), Seq("r"), "left")
+          .select(col("v"), coalesce(col("comp"), col("r")).as("comp"))
+      case None =>
+        verts.join(parents, Seq("v"), "left")
+          .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+    }
   }
 }

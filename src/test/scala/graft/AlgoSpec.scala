@@ -87,6 +87,32 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("CC local pre-contraction: identical exact ids, fewer global rounds") {
+    import spark.implicits._
+    // chains spanning partition boundaries + random clusters + repartition
+    // noise so local union-find pieces MUST compose across partitions
+    val chain = (0L until 500L).sliding(2).map(p => (p(0), p(1), 1.0)).toSeq
+    val cross = (0L until 480L by 37L).map(i => (i, i + 17L, 1.0))
+    val rest = collectEdges(randomEdges(vNum = 150, eNum = 250, seed = 11))
+      .map { case (s, d, w) => (s + 2000L, d + 2000L, w) }
+    val df = (chain ++ cross ++ rest).toDF("src", "dst", "weight").repartition(7)
+
+    val plain = Components.run(df, runName = "cc-nopre", preContract = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plainRounds = graft.engine.Iterate.lastIterations
+    val preRows = Components.run(df, runName = "cc-pre", preContract = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val preRounds = graft.engine.Iterate.lastIterations
+    // exactly ONE row per vertex: boundary vertices belong to a local
+    // piece in several partitions and must not emit duplicate rows
+    // (caught by the q_cc oracle as a 1005-for-1000 rowcount)
+    assert(preRows.length === plain.size)
+    val pre = preRows.toMap
+    assert(pre === plain)
+    assert(preRounds <= plainRounds,
+      s"pre-contraction used MORE rounds ($preRounds > $plainRounds)")
+  }
+
   test("LPA matches reference driver implementation (3 iters, smallest-label ties)") {
     val df = randomEdges(vNum = 60, eNum = 240, seed = 5)
     val got = LabelProp.run(df, iters = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
