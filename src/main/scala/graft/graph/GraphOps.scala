@@ -134,7 +134,14 @@ object GraphOps {
   }
 
   /** Bucketed CSR for the chained walk kernels: (bucket = v / rangeSize,
-    * AdjRow), persisted once per (session, edge plan, rangeSize). */
+    * v, AdjRow), persisted once per (session, edge plan, rangeSize).
+    *
+    * `v` is lifted to a TOP-LEVEL column and partitions are sorted by it:
+    * cached-batch min/max stats exist only for top-level attributes, so a
+    * vertex-level IN-set filter (the chained driver tail's adjacency
+    * fetch) prunes whole batches instead of decompressing the full CSR —
+    * struct-field or bucket-level predicates can't get below bucket
+    * granularity. */
   def bucketedAdjacencyCached(edges: DataFrame, rangeSize: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -144,9 +151,10 @@ object GraphOps {
         s"[graft:csr] building bucketed-adjacency cache entry #${bucketAdjCache.size + 1} " +
           "(release via GraphOps.clearAdjacencyCache / Walk.releaseCaches)")
       val df = adjacency(edges)
-        .map(a => (a.v / rangeSize, a))
-        .toDF("bucket", "adj")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .map(a => (a.v / rangeSize, a.v, a))
+        .toDF("bucket", "v", "adj")
+        .sortWithinPartitions("v")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       df.count()
       df
     })

@@ -535,7 +535,10 @@ object Walk {
       seed: Long = 42L,
       portableRng: Boolean = false,
       sampleSalt: String = "gs",
-      buckets: Int = 0)(implicit senc: Encoder[S]): DataFrame = {
+      buckets: Int = 0,
+      tailThreshold: Long = LightModeThreshold,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "chain-gs")(implicit senc: Encoder[S]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nBuckets =
@@ -547,18 +550,23 @@ object Walk {
       if (edges.columns.contains("edata")) edges
       else edges.withColumn("edata", lit(0L))
     // same sorted neighbour order as genericStateful's CSR — parity of
-    // candidate scan order is part of the bitwise contract
+    // candidate scan order is part of the bitwise contract; v top-level +
+    // sorted for the tail's pruned fetches (see
+    // GraphOps.bucketedAdjacencyCached)
     val adjDf = eData
       .groupBy(col("src").as("v"))
       .agg(sort_array(collect_list(struct(col("dst"), col("weight"), col("edata")))).as("a"))
       .select(col("v"), col("a.dst").as("nbrs"), col("a.weight").as("wts"),
         col("a.edata").as("edatas"))
       .as[graft.model.EdataAdjRow]
-      .map(a => (a.v / rangeSize, a))
-      .toDF("bucket", "adj")
+      .map(a => (a.v / rangeSize, a.v, a))
+      .toDF("bucket", "v", "adj")
+      .sortWithinPartitions("v")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     adjDf.count()
-    val adjB = adjDf.as[(Long, graft.model.EdataAdjRow)].groupByKey(_._1)
+    def typedAdj(df: DataFrame) =
+      df.select(col("bucket"), col("adj")).as[(Long, graft.model.EdataAdjRow)].groupByKey(_._1)
+    val adjB = typedAdj(adjDf)
 
     val unbiased = config.static == StaticComp.Unbiased
     val cfg = config
@@ -578,98 +586,147 @@ object Walk {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong, senc,
         Encoders.scalaBoolean)
 
-    var frontier: Dataset[(Long, Int, Long, S)] = starts
-      .select(col("walkerId"), col("curV")).as[(Long, Long)]
-      .map { case (wid, v) => (wid, 0, v, cfg.init(wid, v)) }
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
-      frontier.toDF("walkerId", "step", "vertex", "state"))
+    // durable round-trip back to the typed frontier — the stored round's
+    // named columns map to the tuple encoder's _1.._4 (S round-trips
+    // through Parquet for any product/primitive encoder, exactly as in
+    // genericStateful's asTyped)
+    def typedFrontier(df: DataFrame): Dataset[(Long, Int, Long, S)] =
+      df.select(col("walkerId").as("_1"), col("step").as("_2"),
+        col("vertex").as("_3"), col("state").as("_4")).as[(Long, Int, Long, S)]
 
-    var outer = 0
-    var active = frontier.count()
+    // user lambdas (init/bias/update/extension) cannot be fingerprinted —
+    // keeping them stable across resumes is the caller's contract
+    val run = new DurableChainedRun(spark, store, runName,
+      s"genericStatefulChained seed=$seed portable=$portableRng salt=$sampleSalt " +
+        s"static=${config.static} maxSteps=$maxSteps " +
+        s"startsFp=${startsFingerprint(starts)}")
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    while (active > 0 && outer <= maxSteps) {
-      val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // bucket pruning — see firstOrderChained
-      val adjRound =
-        if (outer >= 1 || active < BucketPruneThreshold) {
-          val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          if (live.length < nBuckets / 2)
-            adjDf.filter(col("bucket").isin(live: _*))
-              .as[(Long, graft.model.EdataAdjRow)].groupByKey(_._1)
-          else adjB
-        } else adjB
-      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
-        val csr = new scala.collection.mutable.HashMap[Long, graft.model.EdataAdjRow]
-        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
-        ws.flatMap { case (walkerId, step0, v0, state0) =>
-          val rows =
-            scala.collection.mutable.ArrayBuffer[(Long, Int, Long, S, Boolean)]()
-          var step = step0
-          var cur = v0
-          var state = state0
-          var done = false
-          while (!done && step < maxSteps && cur / rangeSize == bucket) {
-            csr.get(cur) match {
-              case None => done = true // dangling: terminate
-              case Some(a) =>
-                // exact mirror of genericStateful's per-step kernel:
-                // Pe(step, state, curV), then the filtered inverse-CDF
-                // over static·bias > 0 candidates in neighbour order
-                val pe = cfg.extension(step, state, cur)
-                if (pe < 1.0 && rnd(walkerId, step, "keep", 1L) >= pe) done = true
-                else {
-                  val n = a.nbrs.length
-                  val an = new scala.collection.mutable.ArrayBuffer[Long](n)
-                  val aw = new scala.collection.mutable.ArrayBuffer[Double](n)
-                  var i = 0
-                  while (i < n) {
-                    val s0 = if (unbiased) 1.0 else a.wts(i)
-                    val bw = s0 * cfg.bias(step, state, cur, a.nbrs(i), a.wts(i),
-                      a.edatas(i))
-                    if (bw > 0.0) { an += a.nbrs(i); aw += bw }
-                    i += 1
-                  }
-                  var total = 0.0
-                  var t = 0
-                  while (t < aw.size) { total += aw(t); t += 1 }
-                  if (an.isEmpty || total <= 0.0) done = true
-                  else {
-                    val dart = rnd(walkerId, step, sampleSalt, 2L) * total
-                    var cum = 0.0
-                    var j = 0
-                    while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
-                    val nxt = an(j)
-                    state = cfg.update(state, walkerId, cur, nxt)
-                    step += 1
-                    cur = nxt
-                    rows += ((walkerId, step, cur, state, false)) // footprint
-                  }
-                }
-            }
-          }
-          if (!done && step < maxSteps && cur / rangeSize != bucket)
-            rows += ((walkerId, step, cur, state, true)) // crossed: re-shuffle
-          rows
+    var outer = 0
+    var frontier: Dataset[(Long, Int, Long, S)] = run.resume() match {
+      case Some((rounds, hi)) =>
+        rounds.zipWithIndex.foreach { case (df, r) =>
+          history += (if (r == 0) df else df.filter(!col("moved")))
+            .select(col("walkerId"), col("step"), col("vertex"), col("state"))
         }
-      }.toDF("walkerId", "step", "vertex", "state", "moved")
-      // r4 round shape — see firstOrderChained/sealChained
-      val outP = out.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      roundCaches += outP
-      history += outP.filter(!col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex"), col("state"))
-      val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
-        .select(col("walkerId").as("_1"), col("step").as("_2"),
-          col("vertex").as("_3"), col("state").as("_4"))
-        .as[(Long, Int, Long, S)])
-      frontier = f2
-      outer += 1
-      active = n
-      System.err.println(s"[graft:chain-gs] outer=$outer active=$active")
+        outer = hi
+        typedFrontier(rounds.last.filter(col("moved")))
+      case None =>
+        val f0 = starts
+          .select(col("walkerId"), col("curV")).as[(Long, Long)]
+          .map { case (wid, v) => (wid, 0, v, cfg.init(wid, v)) }
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        history += f0.toDF("walkerId", "step", "vertex", "state")
+        if (run.durable)
+          run.commitRound(0, f0.toDF("walkerId", "step", "vertex", "state")
+            .withColumn("moved", lit(true)), roundCaches)
+        f0
     }
-    val result = sealChained(history.toSeq, roundCaches.toSeq)
-    adjDf.unpersist(false)
-    result
+    var active = frontier.count()
+    try {
+      while (active > 0 && outer <= maxSteps) {
+        if (active <= tailThreshold) {
+          // driver-local tail — see chainedDriverTail; the typed state S
+          // rides the collected tuples, and the user lambdas run on the
+          // driver exactly as they run inside the cogroup kernel
+          val foot = chainedDriverTail[(Long, Int, Long, S),
+              graft.model.EdataAdjRow, (Long, Int, Long, S)](
+            frontier.collect(),
+            neededOf = w => Seq(w._3),
+            fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.EdataAdjRow].collect()),
+            vOf = _.v,
+            degOf = _.nbrs.length,
+            advance = { (w, look) =>
+              val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, S)]()
+              var (walkerId, step, cur, state) = w
+              var parked: Option[(Long, Int, Long, S)] = None
+              var done = false
+              while (!done && step < maxSteps) {
+                look(cur) match {
+                  case TailUnfetched =>
+                    parked = Some((walkerId, step, cur, state)); done = true
+                  case TailDangling => done = true
+                  case TailHave(a) =>
+                    val (nxt, st2) = statefulStepKernel(a, walkerId, step, state,
+                      cfg, unbiased, rnd, sampleSalt)
+                    if (nxt < 0) done = true
+                    else {
+                      state = st2
+                      step += 1
+                      cur = nxt
+                      rows += ((walkerId, step, cur, state))
+                    }
+                }
+              }
+              (rows.toSeq, parked)
+            },
+            label = "chain-gs")
+          val footDf = spark.createDataset(foot)(fEnc)
+            .toDF("walkerId", "step", "vertex", "state")
+          history += (if (run.durable)
+            run.commitRound(outer + 1, footDf.withColumn("moved", lit(false)),
+                roundCaches)
+              .select(col("walkerId"), col("step"), col("vertex"), col("state"))
+          else footDf)
+          active = 0
+        } else {
+          val grouped = frontier.groupByKey(_._3 / rangeSize)
+          // live-bucket CSR prune — see prunedAdjRound
+          val adjRound = prunedAdjRound(adjDf, frontier.map(_._3 / rangeSize)
+                .distinct().collect(),
+              engage = outer >= 1 || active < BucketPruneThreshold, nBuckets)
+            .map(typedAdj).getOrElse(adjB)
+          val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
+            val csr = new scala.collection.mutable.HashMap[Long, graft.model.EdataAdjRow]
+            adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+            ws.flatMap { case (walkerId, step0, v0, state0) =>
+              val rows =
+                scala.collection.mutable.ArrayBuffer[(Long, Int, Long, S, Boolean)]()
+              var step = step0
+              var cur = v0
+              var state = state0
+              var done = false
+              while (!done && step < maxSteps && cur / rangeSize == bucket) {
+                csr.get(cur) match {
+                  case None => done = true // dangling: terminate
+                  case Some(a) =>
+                    val (nxt, st2) = statefulStepKernel(a, walkerId, step, state,
+                      cfg, unbiased, rnd, sampleSalt)
+                    if (nxt < 0) done = true
+                    else {
+                      state = st2
+                      step += 1
+                      cur = nxt
+                      rows += ((walkerId, step, cur, state, false)) // footprint
+                    }
+                }
+              }
+              if (!done && step < maxSteps && cur / rangeSize != bucket)
+                rows += ((walkerId, step, cur, state, true)) // crossed: re-shuffle
+              rows
+            }
+          }.toDF("walkerId", "step", "vertex", "state", "moved")
+          // r4 round shape — see firstOrderChained/sealChained (durable
+          // runs commit the round's Parquet instead of the cache)
+          val outP = run.commitRound(outer + 1, out, roundCaches)
+          history += outP.filter(!col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex"), col("state"))
+          val (f2, n) = truncateRealCounted(typedFrontier(outP.filter(col("moved"))))
+          frontier = f2
+          outer += 1
+          active = n
+          System.err.println(s"[graft:chain-gs] outer=$outer active=$active")
+        }
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    } finally {
+      // run-local CSR: always released, also when a round throws (ADVICE r4)
+      adjDf.unpersist(false)
+    }
   }
 
   /** [[metapath]] re-expressed on the generic stateful API — proof that
@@ -758,6 +815,270 @@ object Walk {
     * adjacency (VERDICT r3 "what's wrong" #1). */
   private[graft] val resolutionLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+
+  /** Bounded append to [[resolutionLog]]: the queue is a test hook, not a
+    * metrics store — a long-lived session walking hub-heavy graphs must
+    * not accumulate entries forever (ADVICE r4). */
+  private def logResolution(entry: (Int, Int)): Unit = {
+    while (resolutionLog.size() >= 10000) resolutionLog.poll()
+    resolutionLog.add(entry)
+    ()
+  }
+
+  /** Total neighbour ids the chained driver tail may hold in its local
+    * adjacency map before evicting (≈ 64 MB of longs) — a tail can touch
+    * up to tailThreshold × maxSteps distinct vertices over its lifetime,
+    * and hub rows are shared by reference, so this caps the only
+    * unbounded driver-side structure. */
+  val TailNbrBudget = 8L * 1024 * 1024
+
+  /** Driver-tail adjacency lookup outcome: the local map either has the
+    * row, proved the vertex dangling (a fetch asked for it and the CSR
+    * returned nothing — no out-edges), or hasn't fetched it yet. */
+  private sealed trait TailAdj[+A]
+  private final case class TailHave[A](a: A) extends TailAdj[A]
+  private case object TailDangling extends TailAdj[Nothing]
+  private case object TailUnfetched extends TailAdj[Nothing]
+
+  /** Vertex-level IN-set fetch against a persisted CSR keyed by top-level
+    * sorted `v`: reads o(|CSR|) rows via cached-batch min/max pruning.
+    *
+    * The batch-stat filter builder handles `In` (literal list) but NOT
+    * `InSet` (verified against this Spark's
+    * SimpleMetricsCachedBatchSerializer.buildFilter), and the optimizer
+    * rewrites In→InSet above inSetConversionThreshold (default 10) — so
+    * the threshold is raised for the duration of this query's planning,
+    * keeping the predicate prunable. Restored in finally: the InSet form
+    * is the right one for every other query. */
+  private def fetchByVertex[A](
+      adjDf: DataFrame, vs: Seq[Long])(collect: DataFrame => Array[A]): Array[A] = {
+    val spark = adjDf.sparkSession
+    val key = "spark.sql.optimizer.inSetConversionThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, (vs.size + 1).toString)
+    try collect(adjDf.filter(col("v").isin(vs: _*)).select(col("adj.*")))
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Driver-local tail for the chained kernels — the chained analogue of
+    * the join engines' light mode (reference include/walk.hpp:934: comm
+    * drops to a skeleton crew when active < 4000; its local chaining
+    * never re-ships the graph, include/walk.hpp:1056-1063).
+    *
+    * When the crosser frontier fits [[LightModeThreshold]], a cogroup
+    * round still shipped the whole bucketed CSR through the exchange to
+    * advance a handful of walkers — a fixed o(|E|) cost per tail round
+    * that erased the chaining win (BENCH r4: node2vec_chained efficiency
+    * 0.41, 60-70% of the phase). Here instead: collect the frontier,
+    * then loop — fetch the adjacency rows of exactly the vertices the
+    * walkers stand on (vertex-pruned scan of the persisted CSR: zero
+    * shuffle, o(|CSR|) rows), and advance every walker driver-side with
+    * the SAME step kernel the cogroup path runs, until it terminates,
+    * exhausts maxSteps, or reaches an unfetched vertex (→ next fetch).
+    * Fetched rows accumulate in a budget-bounded local map, so walkers
+    * circling a neighbourhood never refetch it.
+    *
+    * Bitwise parity with the cogroup path holds by construction: both
+    * call the same per-step kernel, and the RNG keys on (seed, walkerId,
+    * step) only.
+    *
+    * @param advance chain one walker against the lookup; returns its new
+    *                footprint rows plus Some(parked walker) iff it
+    *                stopped on a TailUnfetched vertex */
+  private def chainedDriverTail[W: scala.reflect.ClassTag, A, F](
+      walkers0: Array[W],
+      neededOf: W => Seq[Long],
+      fetch: Seq[Long] => Array[A],
+      vOf: A => Long,
+      degOf: A => Int,
+      advance: (W, Long => TailAdj[A]) => (Seq[F], Option[W]),
+      label: String): Seq[F] = {
+    val csr = new scala.collection.mutable.HashMap[Long, A]()
+    val dangling = new scala.collection.mutable.HashSet[Long]()
+    var nbrBudget = 0L
+    var live = walkers0
+    val out = new scala.collection.mutable.ArrayBuffer[F]()
+    var fetches = 0
+    while (live.nonEmpty) {
+      val needed = live.iterator.flatMap(neededOf)
+        .filter(v => !csr.contains(v) && !dangling(v)).toSet.toSeq
+      if (needed.nonEmpty) {
+        if (nbrBudget > TailNbrBudget) {
+          // refetch-on-demand eviction: parked walkers re-request what
+          // they still need; shared hub arrays stay alive via walker refs
+          csr.clear(); nbrBudget = 0L
+        }
+        fetch(needed).foreach { a => csr.update(vOf(a), a); nbrBudget += degOf(a) }
+        needed.foreach(v => if (!csr.contains(v)) { dangling += v; () })
+        fetches += 1
+      }
+      val lookup: Long => TailAdj[A] = v =>
+        csr.get(v) match {
+          case Some(a) => TailHave(a)
+          case None => if (dangling(v)) TailDangling else TailUnfetched
+        }
+      live = live.flatMap { w =>
+        val (foot, parked) = advance(w, lookup)
+        out ++= foot
+        parked
+      }
+    }
+    System.err.println(
+      s"[graft:$label] driver tail: ${walkers0.length} walkers finished in " +
+        s"$fetches pruned fetches, ${out.length} footprints, zero exchange")
+    out.toSeq
+  }
+
+  /** The live-bucket CSR prune shared by the four chained kernels: rounds
+    * ≥ 1 hold only bucket-crossers, so the CSR side shrinks to their live
+    * buckets instead of re-shipping the whole adjacency per outer round
+    * (round 0 prunes too when the start frontier is already small). The
+    * live set (≤ nBuckets ids) is collected and pushed as a LITERAL
+    * IN-set: (1) the bucket key must use the kernel's exact Long division
+    * — floor(col/lit) is a DOUBLE division that can round ids above 2^53
+    * into the adjacent bucket and silently strand its walkers; (2) a
+    * frontier-derived JOIN here would feed frontier stats back into the
+    * round's plan and square sizeInBytes per round (see truncateReal).
+    * When the live set spans most buckets the prune buys nothing — None
+    * keeps the unfiltered cached side (and its cross-round shuffle-stage
+    * reuse). Returns the pruned (bucket, v, adj) DataFrame; callers
+    * re-type it per kernel. */
+  private def prunedAdjRound(
+      adjDf: DataFrame, liveBuckets: => Array[Long],
+      engage: Boolean, nBuckets: Int): Option[DataFrame] =
+    if (!engage) None
+    else {
+      val live = liveBuckets
+      if (live.length < nBuckets / 2) Some(adjDf.filter(col("bucket").isin(live: _*)))
+      else None
+    }
+
+  // ------------------------------------------------ chained step kernels
+  // One function per walk family, shared verbatim by the cogroup kernel
+  // and the driver tail — bitwise parity between the two execution paths
+  // is by construction, not by parallel maintenance. All randomness keys
+  // on (seed, walkerId, step, salt) only.
+
+  /** One chained first-order step: next vertex, or -1 to terminate
+    * (keep-draw failed). Salts: 1 keep, 2 alias index, 3 alias accept. */
+  private def firstOrderStepKernel(
+      a: graft.model.AdjRow, walkerId: Long, step: Int,
+      keepProb: Double, seed: Long): Long =
+    if (keepProb < 1.0 && jvmRand(seed, walkerId, step, 1) >= keepProb) -1L
+    else {
+      val n = a.nbrs.length
+      val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
+      if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
+      else a.nbrs(a.alias(i))
+    }
+
+  /** One chained node2vec step: first step (prev < 0) is a static alias
+    * draw (salts 2, 3); later steps the exact biased inverse-CDF over
+    * 1/p · 1 · 1/q weights (salt 4; same math as node2vecSample). */
+  private def node2vecStepKernel(
+      a: graft.model.AdjRow, walkerId: Long, step: Int,
+      prev: Long, prevNbrs: Array[Long], p: Double, q: Double, seed: Long): Long =
+    if (prev < 0) {
+      val n = a.nbrs.length
+      val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
+      if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
+      else a.nbrs(a.alias(i))
+    } else {
+      val n = a.nbrs.length
+      val bw = new Array[Double](n)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val c = a.nbrs(i)
+        val bias =
+          if (c == prev) 1.0 / p
+          else if (java.util.Arrays.binarySearch(prevNbrs, c) >= 0) 1.0
+          else 1.0 / q
+        bw(i) = a.wts(i) * bias
+        total += bw(i)
+        i += 1
+      }
+      val dart = jvmRand(seed, walkerId, step, 4) * total
+      var cum = 0.0
+      var j = 0
+      while (j < n - 1 && { cum += bw(j); cum <= dart }) j += 1
+      a.nbrs(j)
+    }
+
+  /** One chained metapath step: masked inverse-CDF over the scheme's
+    * allowed sub-adjacency (salt 5); -1 terminates (no allowed mass). */
+  private def metapathStepKernel(
+      a: graft.model.TypedAdjRow, walkerId: Long, step: Int,
+      scheme: Array[Array[Boolean]], seed: Long): Long = {
+    val mask = scheme(step % scheme.length)
+    val n = a.nbrs.length
+    var total = 0.0
+    var i = 0
+    while (i < n) {
+      val et = a.etypes(i)
+      if (et >= 0 && et < mask.length && mask(et)) total += a.wts(i)
+      i += 1
+    }
+    if (total <= 0.0) -1L
+    else {
+      val dart = jvmRand(seed, walkerId, step, 5) * total
+      var cum = 0.0
+      var sel = -1
+      var lastAllowed = -1
+      i = 0
+      while (i < n && sel < 0) {
+        val et = a.etypes(i)
+        if (et >= 0 && et < mask.length && mask(et)) {
+          lastAllowed = i
+          cum += a.wts(i)
+          if (cum > dart) sel = i
+        }
+        i += 1
+      }
+      if (sel < 0) sel = lastAllowed // fp round-off: last allowed
+      a.nbrs(sel)
+    }
+  }
+
+  /** One chained generic-stateful step — exact mirror of genericStateful's
+    * per-step kernel: Pe(step, state, curV), then the filtered inverse-CDF
+    * over static·bias > 0 candidates in neighbour order. Returns
+    * (nextV, newState); nextV = -1 terminates (keep-draw failed or zero
+    * total mass), state unchanged in that case. */
+  private def statefulStepKernel[S](
+      a: graft.model.EdataAdjRow, walkerId: Long, step: Int, state: S,
+      cfg: StatefulConfig[S], unbiased: Boolean,
+      rnd: (Long, Int, String, Long) => Double, sampleSalt: String): (Long, S) = {
+    val pe = cfg.extension(step, state, a.v)
+    if (pe < 1.0 && rnd(walkerId, step, "keep", 1L) >= pe) (-1L, state)
+    else {
+      val n = a.nbrs.length
+      val an = new scala.collection.mutable.ArrayBuffer[Long](n)
+      val aw = new scala.collection.mutable.ArrayBuffer[Double](n)
+      var i = 0
+      while (i < n) {
+        val s0 = if (unbiased) 1.0 else a.wts(i)
+        val bw = s0 * cfg.bias(step, state, a.v, a.nbrs(i), a.wts(i), a.edatas(i))
+        if (bw > 0.0) { an += a.nbrs(i); aw += bw }
+        i += 1
+      }
+      var total = 0.0
+      var t = 0
+      while (t < aw.size) { total += aw(t); t += 1 }
+      if (an.isEmpty || total <= 0.0) (-1L, state)
+      else {
+        val dart = rnd(walkerId, step, sampleSalt, 2L) * total
+        var cum = 0.0
+        var j = 0
+        while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
+        val nxt = an(j)
+        (nxt, cfg.update(state, walkerId, a.v, nxt))
+      }
+    }
+  }
 
   /** Plan truncation with REAL statistics for the chained-walk rounds:
     * persist+count makes the leaf's stats the InMemoryRelation's actual
@@ -914,6 +1235,56 @@ object Walk {
         history += f
         (f, 0)
       }
+  }
+
+  /** Durable-run scaffolding for the CHAINED kernels (the join engines
+    * use [[DurableRun]]): the durable unit is the outer ROUND — the full
+    * kernel output (footprints + crossers, `moved`-flagged) goes to the
+    * store as one lineage-tracked Parquet iteration, and round 0 encodes
+    * the start frontier (rows that are simultaneously the step-0
+    * footprints and the first frontier, all moved=true). A killed run
+    * resumes from the last _SUCCESS-complete round: reload the footprint
+    * history, re-derive the crosser frontier from the last round,
+    * continue the loop. Randomness keys on (seed, walkerId, step) and
+    * footprints are invariant to WHERE bucket crossings fall, so a
+    * resumed run is bitwise-identical to an uninterrupted one even under
+    * a different bucket count or tail threshold; maxSteps, however,
+    * shapes the SAVED ROUND CONTENTS (walkers stop chaining at the
+    * horizon and emit no crosser), so it is pinned by the manifest —
+    * resuming a chained store to a different horizon fails loudly where
+    * the join engines can truncate. Reference analogue: the per-epoch
+    * path flush is engine-generic (include/walk.hpp:703-844). */
+  private final class DurableChainedRun(
+      spark: org.apache.spark.sql.SparkSession,
+      store: Option[graft.engine.Iterate.CheckpointStore],
+      runName: String, params: => String) {
+    store.foreach(s => checkManifest(s, runName, spark, params))
+
+    val durable: Boolean = store.isDefined
+
+    /** Durable: write the round's Parquet (the write IS the round's
+      * single heavy action; lineage rows ride it) and hand back the
+      * read-back — a lineage-cut scan with real file stats, so the
+      * non-durable path's in-memory truncation protocol applies
+      * unchanged on top. Non-durable: serialized persist registered in
+      * `roundCaches` (the crosser count materializes it). */
+    def commitRound(round: Int, out: DataFrame,
+        roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame =
+      store match {
+        case Some(s) => s.save(runName, round, out)
+        case None =>
+          val outP = out.persist(StorageLevel.MEMORY_AND_DISK_SER)
+          roundCaches += outP
+          outP
+      }
+
+    /** All complete rounds 0..hi of a resumable run, or None for a fresh
+      * (or non-durable) run. */
+    def resume(): Option[(Seq[DataFrame], Int)] = store.flatMap(s =>
+      s.latest(runName).map { case (hi, _) =>
+        System.err.println(s"[graft:$runName] resumed at round=$hi")
+        ((0 to hi).map(r => spark.read.parquet(s.iterPath(runName, r))), hi)
+      })
   }
 
   /** Cheap deterministic fingerprint of a starts table for the manifest
@@ -1110,7 +1481,10 @@ object Walk {
       maxSteps: Int,
       keepProb: Double = 1.0,
       seed: Long = 42L,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      tailThreshold: Long = LightModeThreshold,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "chain"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nBuckets =
@@ -1124,93 +1498,142 @@ object Walk {
     // alias-table build (the count also materializes it and gates tail
     // bucket pruning)
     val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
-    val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) =
+      df.select(col("bucket"), col("adj")).as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    val adjB = typed(adjDf)
 
-    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
-      .as[(Long, Int, Long)].localCheckpoint(true)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
-      frontier.toDF("walkerId", "step", "curV")
-        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
-
-    var outer = 0
-    var active = frontier.count()
+    val run = new DurableChainedRun(spark, store, runName,
+      s"firstOrderChained seed=$seed keep=$keepProb maxSteps=$maxSteps " +
+        s"startsFp=${startsFingerprint(starts)}")
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    while (active > 0 && outer <= maxSteps) {
-      val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // rounds >= 1 hold only bucket-crossers: prune the CSR down to
-      // their live buckets instead of re-shuffling the whole adjacency
-      // once per outer round (r2 paid the full exchange per round and it
-      // was the worst-scaling phase); round 0 prunes too when the start
-      // frontier is already small. The live set (≤ nBuckets ids) is
-      // collected and pushed as a LITERAL IN-set: (1) the bucket key uses
-      // the kernel's exact Long division — floor(col/lit) is a DOUBLE
-      // division that can round ids above 2^53 into the adjacent bucket
-      // and silently strand its walkers; (2) a frontier-derived JOIN here
-      // would feed frontier stats back into the round's plan and square
-      // sizeInBytes per round (see truncateReal). When the live set still
-      // spans most buckets the prune buys nothing — keep the unfiltered
-      // cached side and skip the filter (A/B at sf0.1: within noise, but
-      // strictly never worse; the win case is the genuinely sparse tail
-      // frontier of later rounds).
-      val adjRound =
-        if (outer >= 1 || active < BucketPruneThreshold) {
-          val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          if (live.length < nBuckets / 2)
-            adjDf.filter(col("bucket").isin(live: _*))
-              .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
-          else adjB
-        } else adjB
-      // output rows: (walkerId, step, vertex, moved) — moved=false rows
-      // are footprints of chained steps; moved=true rows are walkers
-      // parked at a vertex OUTSIDE this bucket (next frontier)
-      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
-        val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
-        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
-        ws.flatMap { case (walkerId, step0, v0) =>
-          val outRows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Boolean)]()
-          var step = step0
-          var cur = v0
-          var done = false
-          while (!done && step < maxSteps && cur / rangeSize == bucket) {
-            csr.get(cur) match {
-              case None => done = true // dangling: terminate
-              case Some(a) =>
-                if (keepProb < 1.0 && jvmRand(seed, walkerId, step, 1) >= keepProb) {
-                  done = true
-                } else {
-                  val n = a.nbrs.length
-                  val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
-                  val nxt = if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
-                    else a.nbrs(a.alias(i))
-                  step += 1
-                  cur = nxt
-                  outRows += ((walkerId, step, cur, false)) // footprint
-                }
-            }
-          }
-          if (!done && step < maxSteps && cur / rangeSize != bucket)
-            outRows += ((walkerId, step, cur, true)) // crossed: re-shuffle
-          outRows
+    var outer = 0
+    var frontier: Dataset[(Long, Int, Long)] = run.resume() match {
+      case Some((rounds, hi)) =>
+        rounds.zipWithIndex.foreach { case (df, r) =>
+          history += (if (r == 0) df else df.filter(!col("moved")))
+            .select(col("walkerId"), col("step"), col("vertex"))
         }
-      }.toDF("walkerId", "step", "vertex", "moved")
-      // r4 round shape (VERDICT r3 #1): cache the full kernel output,
-      // real-stats-truncate ONLY the (small) crosser frontier — its count
-      // is the round's single heavy action and computes the cogroup into
-      // the cache as a side effect. Footprints stay cached, consumed
-      // lazily by sealChained — no per-round full-output copy or count.
-      val outP = out.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      roundCaches += outP
-      history += outP.filter(!col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex"))
-      val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex").as("curV"))
-        .as[(Long, Int, Long)])
-      frontier = f2
-      outer += 1
-      active = n
-      System.err.println(s"[graft:chain] outer=$outer active=$active")
+        outer = hi
+        rounds.last.filter(col("moved"))
+          .select(col("walkerId"), col("step"), col("vertex").as("curV"))
+          .as[(Long, Int, Long)]
+      case None =>
+        val f0 = starts.select(col("walkerId"), lit(0).as("step"), col("curV"))
+          .as[(Long, Int, Long)]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        history += f0.toDF("walkerId", "step", "curV")
+          .select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        if (run.durable)
+          run.commitRound(0, f0.toDF("walkerId", "step", "curV")
+            .select(col("walkerId"), col("step"), col("curV").as("vertex"),
+              lit(true).as("moved")), roundCaches)
+        f0
     }
-    sealChained(history.toSeq, roundCaches.toSeq)
+    var active = frontier.count()
+    try {
+      while (active > 0 && outer <= maxSteps) {
+        if (active <= tailThreshold) {
+          // driver-local tail: finish the walk with vertex-pruned fetches
+          // instead of paying a full-CSR cogroup exchange per round for a
+          // handful of walkers (see chainedDriverTail)
+          val foot = chainedDriverTail[(Long, Int, Long), graft.model.AdjRow,
+              (Long, Int, Long)](
+            frontier.collect(),
+            neededOf = w => Seq(w._3),
+            fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.AdjRow].collect()),
+            vOf = _.v,
+            degOf = _.nbrs.length,
+            advance = { (w, look) =>
+              val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+              var (walkerId, step, cur) = w
+              var parked: Option[(Long, Int, Long)] = None
+              var done = false
+              while (!done && step < maxSteps) {
+                look(cur) match {
+                  case TailUnfetched => parked = Some((walkerId, step, cur)); done = true
+                  case TailDangling => done = true
+                  case TailHave(a) =>
+                    val nxt = firstOrderStepKernel(a, walkerId, step, keepProb, seed)
+                    if (nxt < 0) done = true
+                    else { step += 1; cur = nxt; rows += ((walkerId, step, cur)) }
+                }
+              }
+              (rows.toSeq, parked)
+            },
+            label = "chain")
+          val footDf = spark.createDataset(foot).toDF("walkerId", "step", "vertex")
+          history += (if (run.durable)
+            run.commitRound(outer + 1, footDf.withColumn("moved", lit(false)),
+                roundCaches)
+              .select(col("walkerId"), col("step"), col("vertex"))
+          else footDf)
+          active = 0
+        } else {
+          val grouped = frontier.groupByKey(_._3 / rangeSize)
+          // live-bucket CSR prune — see prunedAdjRound
+          val adjRound = prunedAdjRound(adjDf, frontier.map(_._3 / rangeSize)
+                .distinct().collect(),
+              engage = outer >= 1 || active < BucketPruneThreshold, nBuckets)
+            .map(typed).getOrElse(adjB)
+          // output rows: (walkerId, step, vertex, moved) — moved=false rows
+          // are footprints of chained steps; moved=true rows are walkers
+          // parked at a vertex OUTSIDE this bucket (next frontier)
+          val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
+            val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
+            adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+            ws.flatMap { case (walkerId, step0, v0) =>
+              val outRows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Boolean)]()
+              var step = step0
+              var cur = v0
+              var done = false
+              while (!done && step < maxSteps && cur / rangeSize == bucket) {
+                csr.get(cur) match {
+                  case None => done = true // dangling: terminate
+                  case Some(a) =>
+                    val nxt = firstOrderStepKernel(a, walkerId, step, keepProb, seed)
+                    if (nxt < 0) done = true
+                    else {
+                      step += 1
+                      cur = nxt
+                      outRows += ((walkerId, step, cur, false)) // footprint
+                    }
+                }
+              }
+              if (!done && step < maxSteps && cur / rangeSize != bucket)
+                outRows += ((walkerId, step, cur, true)) // crossed: re-shuffle
+              outRows
+            }
+          }.toDF("walkerId", "step", "vertex", "moved")
+          // r4 round shape (VERDICT r3 #1): cache the full kernel output,
+          // real-stats-truncate ONLY the (small) crosser frontier — its count
+          // is the round's single heavy action and computes the cogroup into
+          // the cache as a side effect. Footprints stay cached, consumed
+          // lazily by sealChained — no per-round full-output copy or count.
+          // (Durable runs swap the cache for the round's Parquet write —
+          // commitRound — and the same truncation protocol rides the
+          // read-back scan.)
+          val outP = run.commitRound(outer + 1, out, roundCaches)
+          history += outP.filter(!col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex"))
+          val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex").as("curV"))
+            .as[(Long, Int, Long)])
+          frontier = f2
+          outer += 1
+          active = n
+          System.err.println(s"[graft:chain] outer=$outer active=$active")
+        }
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      // a failed round (e.g. a user lambda throwing in a sibling engine's
+      // pattern, or an executor loss) must not leave the per-round caches
+      // pinned for the session (ADVICE r4)
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    }
   }
 
   /** Second-order node2vec walk with LOCAL CHAINING — the reference's
@@ -1233,7 +1656,10 @@ object Walk {
       q: Double = 1.0,
       seed: Long = 42L,
       buckets: Int = 0,
-      crosserCap: Int = CrosserNbrsCap): DataFrame = {
+      crosserCap: Int = CrosserNbrsCap,
+      tailThreshold: Long = LightModeThreshold,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "n2vchain"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nBuckets =
@@ -1243,155 +1669,224 @@ object Walk {
 
     // session-cached bucketed CSR (see firstOrderChained)
     val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
-    val adjB = adjDf.as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) =
+      df.select(col("bucket"), col("adj")).as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    val adjB = typed(adjDf)
 
-    // frontier: (walkerId, step, curV, prevV (-1 = first step), prevNbrs)
-    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
-        lit(-1L).as("prevV"), lit(Array.empty[Long]).as("prevNbrs"))
-      .as[(Long, Int, Long, Long, Array[Long])]
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
-      frontier.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
-        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
-
+    val run = new DurableChainedRun(spark, store, runName,
+      s"node2vecChained seed=$seed p=$p q=$q maxSteps=$maxSteps " +
+        s"startsFp=${startsFingerprint(starts)}")
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var outer = 0
-    var active = frontier.count()
     // number of crossers in the CURRENT frontier that were shipped
     // without their prevNbrs (hub cap) — carried out of the previous
     // round's count action as an Observation metric, so gating the
     // resolution join costs zero extra jobs (r3 ran a needs.count()
     // barrier every round even when no hub crosser existed)
     var cappedPrev = 0L
-    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    while (active > 0 && outer <= maxSteps) {
-      // crossers whose previous vertex had degree > crosserCap were
-      // shipped WITHOUT their prevNbrs array (empty + prevV >= 0): re-
-      // attach it here with one broadcast-frontier lookup join against
-      // the persisted CSR — the hub arrays ride straight into the
-      // cogroup exchange and never hit the per-round checkpoint. The CSR
-      // side is pruned to the needed prevV BUCKETS first (literal IN-set
-      // off the checkpointed frontier, exact Long division): r3 scanned
-      // the FULL cached adjacency per outer round to re-arm a handful of
-      // hub crossers — a fixed cost that erases the chaining win at
-      // scale. The reference ships state in O(crossers) messages only
-      // (include/walk.hpp:273-363).
-      val stepInput =
-        if (cappedPrev == 0L) frontier
-        else {
-          val needs = frontier.filter(w => w._4 >= 0L && w._5.isEmpty)
-          val ready = frontier.filter(w => w._4 < 0L || w._5.nonEmpty)
-          val needBuckets = needs.map(_._4 / rangeSize).distinct().collect()
-          resolutionLog.add((needBuckets.length, nBuckets))
-          System.err.println(
-            s"[graft:n2vchain] resolving $cappedPrev capped crossers from " +
-              s"${needBuckets.length}/$nBuckets CSR buckets")
-          val resolved = adjDf.filter(col("bucket").isin(needBuckets: _*))
-            .select(col("adj.v").as("pv"), col("adj.nbrs").as("pnbrs"))
-            .join(broadcast(needs.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
-              .drop("prevNbrs")), col("prevV") === col("pv"))
-            .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
-              col("pnbrs").as("prevNbrs"))
-            .as[(Long, Int, Long, Long, Array[Long])]
-          ready.union(resolved)
+    // frontier: (walkerId, step, curV, prevV (-1 = first step), prevNbrs)
+    var frontier: Dataset[(Long, Int, Long, Long, Array[Long])] = run.resume() match {
+      case Some((rounds, hi)) =>
+        rounds.zipWithIndex.foreach { case (df, r) =>
+          history += (if (r == 0) df else df.filter(!col("moved")))
+            .select(col("walkerId"), col("step"), col("vertex"))
         }
-      val grouped = stepInput.groupByKey(_._3 / rangeSize)
-      // bucket pruning — see firstOrderChained (exact Long division,
-      // literal IN-set from the cheap checkpointed frontier; unfiltered
-      // cached side when the live set spans most buckets, preserving
-      // cross-round shuffle-stage reuse)
-      val adjRound =
-        if (outer >= 1 || active < BucketPruneThreshold) {
-          val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          if (live.length < nBuckets / 2)
-            adjDf.filter(col("bucket").isin(live: _*))
-              .as[(Long, graft.model.AdjRow)].groupByKey(_._1)
-          else adjB
-        } else adjB
-      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
-        val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
-        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
-        ws.flatMap { case (walkerId, step0, v0, pv0, pn0) =>
-          val rows =
-            scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long, Array[Long], Boolean)]()
-          var step = step0
-          var cur = v0
-          var prev = pv0
-          var prevNbrs = pn0
-          var done = false
-          while (!done && step < maxSteps && cur / rangeSize == bucket) {
-            csr.get(cur) match {
-              case None => done = true // dangling: terminate
-              case Some(a) =>
-                val nxt =
-                  if (prev < 0) { // first step: static alias draw
-                    val n = a.nbrs.length
-                    val i = math.min((jvmRand(seed, walkerId, step, 2) * n).toInt, n - 1)
-                    if (jvmRand(seed, walkerId, step, 3) < a.prob(i)) a.nbrs(i)
-                    else a.nbrs(a.alias(i))
-                  } else { // exact biased inverse-CDF (same math as node2vecSample)
-                    val n = a.nbrs.length
-                    val bw = new Array[Double](n)
-                    var total = 0.0
-                    var i = 0
-                    while (i < n) {
-                      val c = a.nbrs(i)
-                      val bias =
-                        if (c == prev) 1.0 / p
-                        else if (java.util.Arrays.binarySearch(prevNbrs, c) >= 0) 1.0
-                        else 1.0 / q
-                      bw(i) = a.wts(i) * bias
-                      total += bw(i)
-                      i += 1
-                    }
-                    val dart = jvmRand(seed, walkerId, step, 4) * total
-                    var cum = 0.0
-                    var j = 0
-                    while (j < n - 1 && { cum += bw(j); cum <= dart }) j += 1
-                    a.nbrs(j)
-                  }
-                prev = cur
-                prevNbrs = a.nbrs
-                step += 1
-                cur = nxt
-                // footprints carry no arrays — only crossers ship prevNbrs
-                rows += ((walkerId, step, cur, -1L, Array.empty[Long], false))
-            }
-          }
-          if (!done && step < maxSteps && cur / rangeSize != bucket) {
-            // bounded crosser state: hub-degree prevNbrs are NOT shipped
-            // (re-resolved at the start of the next round instead)
-            val ship = if (prevNbrs.length > crosserCap) Array.empty[Long] else prevNbrs
-            rows += ((walkerId, step, cur, prev, ship, true))
-          }
-          rows
-        }
-      }.toDF("walkerId", "step", "vertex", "prevV", "prevNbrs", "moved")
-      // r4 round shape (see firstOrderChained/sealChained): cache the
-      // full output, real-stats-truncate ONLY the crosser frontier.
-      // REAL stats on the frontier are mandatory here: the prevNbrs
-      // resolution join feeds frontier-derived stats into the round's
-      // plan, which would square without the truncation. The capped-
-      // crosser count for the next round's resolution gate rides the
-      // same count action as an Observation metric.
-      val outP = out.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      roundCaches += outP
-      history += outP.filter(!col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex"))
-      val obs = org.apache.spark.sql.Observation()
-      val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex").as("curV"),
-          col("prevV"), col("prevNbrs"))
-        .observe(obs, count(when(col("prevV") >= 0 && size(col("prevNbrs")) === 0,
-          lit(1))).as("capped"))
-        .as[(Long, Int, Long, Long, Array[Long])])
-      frontier = f2
-      cappedPrev = obs.get("capped").asInstanceOf[Long]
-      outer += 1
-      active = n
-      System.err.println(
-        s"[graft:n2vchain] outer=$outer active=$active capped=$cappedPrev")
+        outer = hi
+        val f = rounds.last.filter(col("moved"))
+          .select(col("walkerId"), col("step"), col("vertex").as("curV"),
+            col("prevV"), col("prevNbrs"))
+          .as[(Long, Int, Long, Long, Array[Long])]
+        // the resolution gate's Observation count died with the killed
+        // run — recompute it off the reloaded frontier (resume-time only)
+        cappedPrev = f.filter(w => w._4 >= 0L && w._5.isEmpty).count()
+        f
+      case None =>
+        val f0 = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+            lit(-1L).as("prevV"), lit(Array.empty[Long]).as("prevNbrs"))
+          .as[(Long, Int, Long, Long, Array[Long])]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        history += f0.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+          .select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        if (run.durable)
+          run.commitRound(0, f0.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+            .select(col("walkerId"), col("step"), col("curV").as("vertex"),
+              col("prevV"), col("prevNbrs"), lit(true).as("moved")), roundCaches)
+        f0
     }
-    sealChained(history.toSeq, roundCaches.toSeq)
+    var active = frontier.count()
+    try {
+      while (active > 0 && outer <= maxSteps) {
+        if (active <= tailThreshold) {
+          // driver-local tail (see chainedDriverTail): capped crossers'
+          // prevNbrs resolve against the same local fetch map — prevV's
+          // adjacency joins the IN-set, no resolution join at all
+          val foot = chainedDriverTail[(Long, Int, Long, Long, Array[Long]),
+              graft.model.AdjRow, (Long, Int, Long)](
+            frontier.collect(),
+            neededOf = w =>
+              if (w._4 >= 0L && w._5.isEmpty) Seq(w._3, w._4) else Seq(w._3),
+            fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.AdjRow].collect()),
+            vOf = _.v,
+            degOf = _.nbrs.length,
+            advance = { (w, look) =>
+              val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+              var (walkerId, step, cur, prev, prevNbrs) = w
+              var parked: Option[(Long, Int, Long, Long, Array[Long])] = None
+              var done = false
+              // re-arm a capped crosser first: its prev vertex MUST be in
+              // the CSR (the walker stepped out of it last round)
+              if (prev >= 0L && prevNbrs.isEmpty) look(prev) match {
+                case TailHave(a) => prevNbrs = a.nbrs
+                case TailUnfetched => parked = Some(w); done = true
+                case TailDangling => done = true // unreachable: prev had out-edges
+              }
+              while (!done && step < maxSteps) {
+                look(cur) match {
+                  case TailUnfetched =>
+                    parked = Some((walkerId, step, cur, prev, prevNbrs)); done = true
+                  case TailDangling => done = true
+                  case TailHave(a) =>
+                    val nxt = node2vecStepKernel(a, walkerId, step, prev, prevNbrs,
+                      p, q, seed)
+                    prev = cur
+                    prevNbrs = a.nbrs
+                    step += 1
+                    cur = nxt
+                    rows += ((walkerId, step, cur))
+                }
+              }
+              (rows.toSeq, parked)
+            },
+            label = "n2vchain")
+          val footDf = spark.createDataset(foot).toDF("walkerId", "step", "vertex")
+          history += (if (run.durable)
+            run.commitRound(outer + 1, footDf
+                .withColumn("prevV", lit(-1L))
+                .withColumn("prevNbrs", lit(Array.empty[Long]))
+                .withColumn("moved", lit(false)), roundCaches)
+              .select(col("walkerId"), col("step"), col("vertex"))
+          else footDf)
+          active = 0
+        } else {
+          // crossers whose previous vertex had degree > crosserCap were
+          // shipped WITHOUT their prevNbrs array (empty + prevV >= 0): re-
+          // attach it here with one broadcast-frontier lookup join against
+          // the persisted CSR — the hub arrays ride straight into the
+          // cogroup exchange and never hit the per-round checkpoint. The
+          // CSR side is pruned to the needed prev VERTICES (a literal
+          // IN-set off the checkpointed frontier — one collect serves the
+          // vertex set, its buckets, and the log; batch min/max stats on
+          // the sorted top-level v cut below bucket granularity). r3
+          // scanned the FULL cached adjacency per outer round to re-arm a
+          // handful of hub crossers — a fixed cost that erases the
+          // chaining win at scale. The reference ships state in
+          // O(crossers) messages only (include/walk.hpp:273-363).
+          val stepInput =
+            if (cappedPrev == 0L) frontier
+            else {
+              val needs = frontier.filter(w => w._4 >= 0L && w._5.isEmpty)
+              val ready = frontier.filter(w => w._4 < 0L || w._5.nonEmpty)
+              // one collect off the small checkpointed frontier serves the
+              // prev-vertex IN-set, its bucket IN-set, and the log; when
+              // the capped set is huge (pathological all-hub frontier)
+              // fall back to bucket granularity — a 100k-literal predicate
+              // would cost more to plan than it prunes
+              val prevVs = needs.map(_._4).distinct().collect().toSeq
+              val needBuckets = prevVs.map(_ / rangeSize).distinct
+              logResolution((needBuckets.length, nBuckets))
+              System.err.println(
+                s"[graft:n2vchain] resolving $cappedPrev capped crossers from " +
+                  s"${prevVs.length} vertices in ${needBuckets.length}/$nBuckets CSR buckets")
+              val csrSide = adjDf.filter(col("bucket").isin(needBuckets: _*))
+              val csrPruned =
+                if (prevVs.length <= LightModeThreshold)
+                  // row-level prune on the sorted top-level v (evaluated as
+                  // an InSet row filter; the bucket IN-set above already
+                  // bounds the batches decompressed)
+                  csrSide.filter(col("v").isin(prevVs: _*))
+                else csrSide
+              val resolved = csrPruned
+                .select(col("v").as("pv"), col("adj.nbrs").as("pnbrs"))
+                .join(broadcast(needs.toDF("walkerId", "step", "curV", "prevV", "prevNbrs")
+                  .drop("prevNbrs")), col("prevV") === col("pv"))
+                .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+                  col("pnbrs").as("prevNbrs"))
+                .as[(Long, Int, Long, Long, Array[Long])]
+              ready.union(resolved)
+            }
+          val grouped = stepInput.groupByKey(_._3 / rangeSize)
+          // live-bucket CSR prune — see prunedAdjRound
+          val adjRound = prunedAdjRound(adjDf, frontier.map(_._3 / rangeSize)
+                .distinct().collect(),
+              engage = outer >= 1 || active < BucketPruneThreshold, nBuckets)
+            .map(typed).getOrElse(adjB)
+          val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
+            val csr = new scala.collection.mutable.HashMap[Long, graft.model.AdjRow]
+            adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+            ws.flatMap { case (walkerId, step0, v0, pv0, pn0) =>
+              val rows =
+                scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long, Array[Long], Boolean)]()
+              var step = step0
+              var cur = v0
+              var prev = pv0
+              var prevNbrs = pn0
+              var done = false
+              while (!done && step < maxSteps && cur / rangeSize == bucket) {
+                csr.get(cur) match {
+                  case None => done = true // dangling: terminate
+                  case Some(a) =>
+                    val nxt = node2vecStepKernel(a, walkerId, step, prev, prevNbrs,
+                      p, q, seed)
+                    prev = cur
+                    prevNbrs = a.nbrs
+                    step += 1
+                    cur = nxt
+                    // footprints carry no arrays — only crossers ship prevNbrs
+                    rows += ((walkerId, step, cur, -1L, Array.empty[Long], false))
+                }
+              }
+              if (!done && step < maxSteps && cur / rangeSize != bucket) {
+                // bounded crosser state: hub-degree prevNbrs are NOT shipped
+                // (re-resolved at the start of the next round instead)
+                val ship = if (prevNbrs.length > crosserCap) Array.empty[Long] else prevNbrs
+                rows += ((walkerId, step, cur, prev, ship, true))
+              }
+              rows
+            }
+          }.toDF("walkerId", "step", "vertex", "prevV", "prevNbrs", "moved")
+          // r4 round shape (see firstOrderChained/sealChained): cache the
+          // full output, real-stats-truncate ONLY the crosser frontier.
+          // REAL stats on the frontier are mandatory here: the prevNbrs
+          // resolution join feeds frontier-derived stats into the round's
+          // plan, which would square without the truncation. The capped-
+          // crosser count for the next round's resolution gate rides the
+          // same count action as an Observation metric. (Durable runs
+          // swap the cache for the round's Parquet write — commitRound.)
+          val outP = run.commitRound(outer + 1, out, roundCaches)
+          history += outP.filter(!col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex"))
+          val obs = org.apache.spark.sql.Observation()
+          val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex").as("curV"),
+              col("prevV"), col("prevNbrs"))
+            .observe(obs, count(when(col("prevV") >= 0 && size(col("prevNbrs")) === 0,
+              lit(1))).as("capped"))
+            .as[(Long, Int, Long, Long, Array[Long])])
+          frontier = f2
+          cappedPrev = obs.get("capped").asInstanceOf[Long]
+          outer += 1
+          active = n
+          System.err.println(
+            s"[graft:n2vchain] outer=$outer active=$active capped=$cappedPrev")
+        }
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    }
   }
 
   /** Second-order node2vec walk (exact distribution via joins; SURVEY.md
@@ -1568,7 +2063,10 @@ object Walk {
       schemes: Seq[Seq[Seq[Boolean]]],
       maxSteps: Int,
       seed: Long = 42L,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      tailThreshold: Long = LightModeThreshold,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "chain-mp"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nBuckets =
@@ -1578,114 +2076,157 @@ object Walk {
 
     // typed bucketed CSR: sort_array orders by dst like the join-based
     // metapath's sub-adjacency, so the masked inverse-CDF walks the same
-    // support order
+    // support order; v top-level + sorted for the tail's pruned fetches
+    // (see GraphOps.bucketedAdjacencyCached)
     val adjDf = edges
       .groupBy(col("src").as("v"))
       .agg(sort_array(collect_list(struct(col("dst"), col("weight"), col("etype")))).as("adjl"))
       .select(col("v"), col("adjl.dst").as("nbrs"), col("adjl.weight").as("wts"),
         col("adjl.etype").as("etypes"))
       .as[graft.model.TypedAdjRow]
-      .map(a => (a.v / rangeSize, a))
-      .toDF("bucket", "adj")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .map(a => (a.v / rangeSize, a.v, a))
+      .toDF("bucket", "v", "adj")
+      .sortWithinPartitions("v")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     adjDf.count()
-    val adjB = adjDf.as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) =
+      df.select(col("bucket"), col("adj")).as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+    val adjB = typed(adjDf)
 
     val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
     val nSchemes = schemes.size
 
-    // frontier: (walkerId, step, curV, schemeId)
-    var frontier = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
-        pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
-      .as[(Long, Int, Long, Int)].localCheckpoint(true)
-    val history = scala.collection.mutable.ArrayBuffer[DataFrame](
-      frontier.toDF("walkerId", "step", "curV", "schemeId")
-        .select(col("walkerId"), col("step"), col("curV").as("vertex")))
-
-    var outer = 0
-    var active = frontier.count()
+    val run = new DurableChainedRun(spark, store, runName,
+      s"metapathChained seed=$seed maxSteps=$maxSteps " +
+        s"schemes=${schemes.map(_.map(_.map(b => if (b) '1' else '0').mkString)
+          .mkString("+")).mkString(",")} startsFp=${startsFingerprint(starts)}")
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    while (active > 0 && outer <= maxSteps) {
-      val grouped = frontier.groupByKey(_._3 / rangeSize)
-      // bucket pruning — see firstOrderChained (exact Long division,
-      // literal IN-set from the cheap checkpointed frontier; unfiltered
-      // cached side when the live set spans most buckets, preserving
-      // cross-round shuffle-stage reuse)
-      val adjRound =
-        if (outer >= 1 || active < BucketPruneThreshold) {
-          val live = frontier.map(_._3 / rangeSize).distinct().collect()
-          if (live.length < nBuckets / 2)
-            adjDf.filter(col("bucket").isin(live: _*))
-              .as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
-          else adjB
-        } else adjB
-      val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
-        val csr = new scala.collection.mutable.HashMap[Long, graft.model.TypedAdjRow]
-        adjIt.foreach { case (_, a) => csr.update(a.v, a) }
-        ws.flatMap { case (walkerId, step0, v0, schemeId) =>
-          val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Boolean)]()
-          val scheme = schemesB(schemeId)
-          var step = step0
-          var cur = v0
-          var done = false
-          while (!done && step < maxSteps && cur / rangeSize == bucket) {
-            csr.get(cur) match {
-              case None => done = true // dangling: terminate
-              case Some(a) =>
-                val mask = scheme(step % scheme.length)
-                val n = a.nbrs.length
-                // masked inverse-CDF over the allowed sub-adjacency
-                var total = 0.0
-                var i = 0
-                while (i < n) {
-                  val et = a.etypes(i)
-                  if (et >= 0 && et < mask.length && mask(et)) total += a.wts(i)
-                  i += 1
-                }
-                if (total <= 0.0) done = true // no allowed mass: terminate
-                else {
-                  val dart = jvmRand(seed, walkerId, step, 5) * total
-                  var cum = 0.0
-                  var sel = -1
-                  var lastAllowed = -1
-                  i = 0
-                  while (i < n && sel < 0) {
-                    val et = a.etypes(i)
-                    if (et >= 0 && et < mask.length && mask(et)) {
-                      lastAllowed = i
-                      cum += a.wts(i)
-                      if (cum > dart) sel = i
-                    }
-                    i += 1
-                  }
-                  if (sel < 0) sel = lastAllowed // fp round-off: last allowed
-                  step += 1
-                  cur = a.nbrs(sel)
-                  rows += ((walkerId, step, cur, schemeId, false)) // footprint
-                }
-            }
-          }
-          if (!done && step < maxSteps && cur / rangeSize != bucket)
-            rows += ((walkerId, step, cur, schemeId, true)) // crossed: re-shuffle
-          rows
+    var outer = 0
+    // frontier: (walkerId, step, curV, schemeId)
+    var frontier: Dataset[(Long, Int, Long, Int)] = run.resume() match {
+      case Some((rounds, hi)) =>
+        rounds.zipWithIndex.foreach { case (df, r) =>
+          history += (if (r == 0) df else df.filter(!col("moved")))
+            .select(col("walkerId"), col("step"), col("vertex"))
         }
-      }.toDF("walkerId", "step", "vertex", "schemeId", "moved")
-      // r4 round shape — see firstOrderChained/sealChained
-      val outP = out.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      roundCaches += outP
-      history += outP.filter(!col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex"))
-      val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
-        .select(col("walkerId"), col("step"), col("vertex").as("curV"), col("schemeId"))
-        .as[(Long, Int, Long, Int)])
-      frontier = f2
-      outer += 1
-      active = n
-      System.err.println(s"[graft:chain-mp] outer=$outer active=$active")
+        outer = hi
+        rounds.last.filter(col("moved"))
+          .select(col("walkerId"), col("step"), col("vertex").as("curV"),
+            col("schemeId"))
+          .as[(Long, Int, Long, Int)]
+      case None =>
+        val f0 = starts.select(col("walkerId"), lit(0).as("step"), col("curV"),
+            pmod(col("walkerId"), lit(nSchemes)).cast("int").as("schemeId"))
+          .as[(Long, Int, Long, Int)]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        history += f0.toDF("walkerId", "step", "curV", "schemeId")
+          .select(col("walkerId"), col("step"), col("curV").as("vertex"))
+        if (run.durable)
+          run.commitRound(0, f0.toDF("walkerId", "step", "curV", "schemeId")
+            .select(col("walkerId"), col("step"), col("curV").as("vertex"),
+              col("schemeId"), lit(true).as("moved")), roundCaches)
+        f0
     }
-    val result = sealChained(history.toSeq, roundCaches.toSeq)
-    adjDf.unpersist(false)
-    result
+    var active = frontier.count()
+    try {
+      while (active > 0 && outer <= maxSteps) {
+        if (active <= tailThreshold) {
+          // driver-local tail — see chainedDriverTail
+          val foot = chainedDriverTail[(Long, Int, Long, Int),
+              graft.model.TypedAdjRow, (Long, Int, Long)](
+            frontier.collect(),
+            neededOf = w => Seq(w._3),
+            fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.TypedAdjRow].collect()),
+            vOf = _.v,
+            degOf = _.nbrs.length,
+            advance = { (w, look) =>
+              val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+              var (walkerId, step, cur, schemeId) = w
+              val scheme = schemesB(schemeId)
+              var parked: Option[(Long, Int, Long, Int)] = None
+              var done = false
+              while (!done && step < maxSteps) {
+                look(cur) match {
+                  case TailUnfetched =>
+                    parked = Some((walkerId, step, cur, schemeId)); done = true
+                  case TailDangling => done = true
+                  case TailHave(a) =>
+                    val nxt = metapathStepKernel(a, walkerId, step, scheme, seed)
+                    if (nxt < 0) done = true
+                    else { step += 1; cur = nxt; rows += ((walkerId, step, cur)) }
+                }
+              }
+              (rows.toSeq, parked)
+            },
+            label = "chain-mp")
+          val footDf = spark.createDataset(foot).toDF("walkerId", "step", "vertex")
+          history += (if (run.durable)
+            run.commitRound(outer + 1, footDf
+                .withColumn("schemeId", lit(0))
+                .withColumn("moved", lit(false)), roundCaches)
+              .select(col("walkerId"), col("step"), col("vertex"))
+          else footDf)
+          active = 0
+        } else {
+          val grouped = frontier.groupByKey(_._3 / rangeSize)
+          // live-bucket CSR prune — see prunedAdjRound
+          val adjRound = prunedAdjRound(adjDf, frontier.map(_._3 / rangeSize)
+                .distinct().collect(),
+              engage = outer >= 1 || active < BucketPruneThreshold, nBuckets)
+            .map(typed).getOrElse(adjB)
+          val out = grouped.cogroup(adjRound) { (bucket, ws, adjIt) =>
+            val csr = new scala.collection.mutable.HashMap[Long, graft.model.TypedAdjRow]
+            adjIt.foreach { case (_, a) => csr.update(a.v, a) }
+            ws.flatMap { case (walkerId, step0, v0, schemeId) =>
+              val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Boolean)]()
+              val scheme = schemesB(schemeId)
+              var step = step0
+              var cur = v0
+              var done = false
+              while (!done && step < maxSteps && cur / rangeSize == bucket) {
+                csr.get(cur) match {
+                  case None => done = true // dangling: terminate
+                  case Some(a) =>
+                    val nxt = metapathStepKernel(a, walkerId, step, scheme, seed)
+                    if (nxt < 0) done = true // no allowed mass: terminate
+                    else {
+                      step += 1
+                      cur = nxt
+                      rows += ((walkerId, step, cur, schemeId, false)) // footprint
+                    }
+                }
+              }
+              if (!done && step < maxSteps && cur / rangeSize != bucket)
+                rows += ((walkerId, step, cur, schemeId, true)) // crossed: re-shuffle
+              rows
+            }
+          }.toDF("walkerId", "step", "vertex", "schemeId", "moved")
+          // r4 round shape — see firstOrderChained/sealChained (durable
+          // runs commit the round's Parquet instead of the cache)
+          val outP = run.commitRound(outer + 1, out, roundCaches)
+          history += outP.filter(!col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex"))
+          val (f2, n) = truncateRealCounted(outP.filter(col("moved"))
+            .select(col("walkerId"), col("step"), col("vertex").as("curV"), col("schemeId"))
+            .as[(Long, Int, Long, Int)])
+          frontier = f2
+          outer += 1
+          active = n
+          System.err.println(s"[graft:chain-mp] outer=$outer active=$active")
+        }
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    } finally {
+      // run-local CSR: always released, also when a round throws
+      // (ADVICE r4; sealChained on the success path only drops the
+      // per-round caches)
+      adjDf.unpersist(false)
+    }
   }
 
   /** Epoched walk (reference "walk rate", include/walk.hpp:140-144,
@@ -1701,9 +2242,9 @@ object Walk {
       maxSteps: Int,
       keepProb: Double = 1.0,
       seed: Long = 42L): DataFrame =
-    epochRanges(numWalkers, epochs).map { case (begin, end) =>
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
       firstOrder(edges, startsFor(begin, end), maxSteps, keepProb, seed)
-    }.reduce(_ unionAll _)
+    }
 
   /** Contiguous walker-id ranges for the epoched variants. The RNG (and
     * metapath's scheme assignment) keys on the ABSOLUTE walkerId, so the
@@ -1713,6 +2254,20 @@ object Walk {
   private def epochRanges(numWalkers: Long, epochs: Int): Seq[(Long, Long)] = {
     val per = math.max(1L, (numWalkers + epochs - 1) / epochs)
     (0L until numWalkers by per).map(b => (b, math.min(b + per, numWalkers)))
+  }
+
+  /** The epoch loop shared by ALL epoched variants (join and chained
+    * engines): run each walker range to completion, union the footprints.
+    * numWalkers ≤ 0 returns an empty footprint frame instead of letting
+    * `reduce` throw on the empty range list (ADVICE r4). */
+  private def epochedRun(
+      spark: org.apache.spark.sql.SparkSession, numWalkers: Long, epochs: Int)(
+      runRange: ((Long, Long)) => DataFrame): DataFrame = {
+    val ranges = epochRanges(numWalkers, epochs)
+    if (ranges.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long)].toDF("walkerId", "step", "vertex")
+    } else ranges.map(runRange).reduce(_ unionAll _)
   }
 
   /** Epoched second-order walk — the reference's walk-rate memory bound
@@ -1729,9 +2284,9 @@ object Walk {
       p: Double = 1.0,
       q: Double = 1.0,
       seed: Long = 42L): DataFrame =
-    epochRanges(numWalkers, epochs).map { case (begin, end) =>
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
       node2vec(edges, startsFor(begin, end), maxSteps, p, q, seed)
-    }.reduce(_ unionAll _)
+    }
 
   /** Epoched metapath walk (see [[node2vecEpoched]]); scheme assignment
     * keys on absolute walkerId (walkerId % nSchemes), so per-epoch start
@@ -1744,9 +2299,63 @@ object Walk {
       schemes: Seq[Seq[Seq[Boolean]]],
       maxSteps: Int,
       seed: Long = 42L): DataFrame =
-    epochRanges(numWalkers, epochs).map { case (begin, end) =>
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
       metapath(edges, startsFor(begin, end), schemes, maxSteps, seed)
-    }.reduce(_ unionAll _)
+    }
+
+  /** Epoched × chained composition (VERDICT r4 #4): the reference's walk
+    * rate (include/walk.hpp:140-144) bounds in-flight walker state for
+    * EVERY engine, and the chained kernels are this engine's default perf
+    * path — at |V|-scale walker counts their per-round output cache is
+    * the memory hotspot the epoch knob exists to bound. The chained RNG
+    * keys on absolute (seed, walkerId, step) only, so epoched == one big
+    * run, bitwise (ChainSpec). The bucketed CSR is session-cached, so
+    * the epochs share one build. */
+  def firstOrderChainedEpoched(
+      edges: DataFrame,
+      startsFor: (Long, Long) => DataFrame,
+      numWalkers: Long,
+      epochs: Int,
+      maxSteps: Int,
+      keepProb: Double = 1.0,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame =
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
+      firstOrderChained(edges, startsFor(begin, end), maxSteps, keepProb, seed, buckets)
+    }
+
+  /** Epoched × chained node2vec (see [[firstOrderChainedEpoched]]). */
+  def node2vecChainedEpoched(
+      edges: DataFrame,
+      startsFor: (Long, Long) => DataFrame,
+      numWalkers: Long,
+      epochs: Int,
+      maxSteps: Int,
+      p: Double = 1.0,
+      q: Double = 1.0,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame =
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
+      node2vecChained(edges, startsFor(begin, end), maxSteps, p, q, seed, buckets)
+    }
+
+  /** Epoched × chained metapath (see [[firstOrderChainedEpoched]]);
+    * scheme assignment keys on absolute walkerId, so per-epoch start
+    * tables MUST carry the global walker ids. Unlike the homogeneous
+    * kernels the typed CSR is run-local (not session-cached), so each
+    * epoch rebuilds it — the trade for the bounded frontier. */
+  def metapathChainedEpoched(
+      edges: DataFrame,
+      startsFor: (Long, Long) => DataFrame,
+      numWalkers: Long,
+      epochs: Int,
+      schemes: Seq[Seq[Seq[Boolean]]],
+      maxSteps: Int,
+      seed: Long = 42L,
+      buckets: Int = 0): DataFrame =
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
+      metapathChained(edges, startsFor(begin, end), schemes, maxSteps, seed, buckets)
+    }
 
   /** Custom start distribution from an explicit start-vertex table
     * (reference W4, src/apps/ppr.hpp:41-51: walker i starts at

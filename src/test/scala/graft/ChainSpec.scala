@@ -28,12 +28,93 @@ class ChainSpec extends SparkSpec {
   }
 
   test("chained walk is deterministic across parallelism and bucket counts") {
+    // tailThreshold = 0 pins the cogroup kernel — the driver tail's
+    // parity with it has its own tests below
     val starts = Walk.equalStarts(g, 50)
-    val a = Walk.firstOrderChained(g, starts, maxSteps = 4, buckets = 2)
+    val a = Walk.firstOrderChained(g, starts, maxSteps = 4, buckets = 2,
+        tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
-    val b = Walk.firstOrderChained(g.repartition(7), starts, maxSteps = 4, buckets = 5)
+    val b = Walk.firstOrderChained(g.repartition(7), starts, maxSteps = 4, buckets = 5,
+        tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
     assert(a === b)
+  }
+
+  def fpSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("driver tail == cogroup path, bitwise (firstOrderChained, mixed run)") {
+    // 6000 walkers with keepProb .6: the first rounds run the cogroup
+    // kernel (active > threshold), the geometric die-off then hands the
+    // survivors to the driver tail — all three threshold settings must
+    // produce identical footprints
+    val starts = Walk.equalStarts(g, 6000)
+    val cogroupOnly = fpSet(Walk.firstOrderChained(g, starts, maxSteps = 12,
+      keepProb = 0.6, seed = 7, buckets = 4, tailThreshold = 0L))
+    val mixed = fpSet(Walk.firstOrderChained(g, starts, maxSteps = 12,
+      keepProb = 0.6, seed = 7, buckets = 4))
+    val tailOnly = fpSet(Walk.firstOrderChained(g, starts, maxSteps = 12,
+      keepProb = 0.6, seed = 7, buckets = 4, tailThreshold = Long.MaxValue))
+    assert(mixed === cogroupOnly)
+    assert(tailOnly === cogroupOnly)
+    assert(cogroupOnly.nonEmpty)
+  }
+
+  test("driver tail == cogroup path, bitwise (node2vecChained incl. hub crossers)") {
+    // star hub + ring (the WalkerStateSpec hub shape): capped crossers'
+    // prevNbrs must resolve identically via the local fetch map and via
+    // the distributed resolution join
+    import spark.implicits._
+    val star = (1L to 99L).flatMap(i => Seq((0L, i, 1.0), (i, 0L, 1.0)))
+    val ring = (1L until 99L).map(i => (i, i + 1, 2.0)) :+ ((99L, 1L, 2.0))
+    val edges = (star ++ ring).toDF("src", "dst", "weight")
+    val starts = Walk.equalStarts(edges, 400)
+    val dist = fpSet(Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5,
+      seed = 33, buckets = 8, crosserCap = 4, tailThreshold = 0L))
+    val tail = fpSet(Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5,
+      seed = 33, buckets = 8, crosserCap = 4))
+    assert(tail === dist)
+    assert(dist.nonEmpty)
+  }
+
+  test("driver tail == cogroup path, bitwise (metapathChained)") {
+    val tg = g.withColumn("etype", pmod(col("src") + col("dst"), lit(3)).cast("int"))
+    val schemes = Seq(
+      Seq(Seq(true, false, false), Seq(false, true, true)),
+      Seq(Seq(true, true, false)))
+    val starts = Walk.equalStarts(tg, 60)
+    val dist = fpSet(Walk.metapathChained(tg, starts, schemes, maxSteps = 5, buckets = 2,
+      tailThreshold = 0L))
+    val tail = fpSet(Walk.metapathChained(tg, starts, schemes, maxSteps = 5, buckets = 2))
+    assert(tail === dist)
+    assert(dist.nonEmpty)
+  }
+
+  test("epoched chained == one big chained run, bitwise") {
+    val n = 90L
+    def startsFor(b: Long, e: Long) =
+      Walk.equalStarts(g, n).filter(col("walkerId") >= b && col("walkerId") < e)
+    val one = fpSet(Walk.firstOrderChained(g, Walk.equalStarts(g, n), maxSteps = 6,
+      keepProb = 0.8, seed = 5))
+    val ep = fpSet(Walk.firstOrderChainedEpoched(g, startsFor, n, epochs = 4,
+      maxSteps = 6, keepProb = 0.8, seed = 5))
+    assert(ep === one)
+    val one2 = fpSet(Walk.node2vecChained(g, Walk.equalStarts(g, n), maxSteps = 4,
+      p = 2.0, q = 0.5, seed = 5))
+    val ep2 = fpSet(Walk.node2vecChainedEpoched(g, startsFor, n, epochs = 3,
+      maxSteps = 4, p = 2.0, q = 0.5, seed = 5))
+    assert(ep2 === one2)
+  }
+
+  test("epoched with zero walkers returns an empty footprint frame") {
+    def startsFor(b: Long, e: Long) =
+      Walk.equalStarts(g, 1L).filter(col("walkerId") >= b && col("walkerId") < e)
+    val fp = Walk.firstOrderChainedEpoched(g, startsFor, numWalkers = 0L, epochs = 3,
+      maxSteps = 4)
+    assert(fp.columns.toSeq === Seq("walkerId", "step", "vertex"))
+    assert(fp.count() === 0L)
+    assert(Walk.firstOrderEpoched(g, startsFor, numWalkers = 0L, epochs = 2,
+      maxSteps = 4).count() === 0L)
   }
 
   test("chained walk transition frequencies match weights") {
@@ -68,10 +149,11 @@ class ChainSpec extends SparkSpec {
 
   test("chained node2vec is deterministic across parallelism and bucket counts") {
     val starts = Walk.equalStarts(g, 50)
-    val a = Walk.node2vecChained(g, starts, maxSteps = 4, p = 2.0, q = 0.5, buckets = 2)
+    val a = Walk.node2vecChained(g, starts, maxSteps = 4, p = 2.0, q = 0.5, buckets = 2,
+        tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
     val b = Walk.node2vecChained(g.repartition(7), starts, maxSteps = 4, p = 2.0, q = 0.5,
-        buckets = 5)
+        buckets = 5, tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
     assert(a === b)
   }
@@ -122,10 +204,11 @@ class ChainSpec extends SparkSpec {
       Seq(Seq(true, false, false), Seq(false, true, true)),
       Seq(Seq(true, true, false)))
     val starts = Walk.equalStarts(tg, 60)
-    val a = Walk.metapathChained(tg, starts, schemes, maxSteps = 5, buckets = 2)
+    val a = Walk.metapathChained(tg, starts, schemes, maxSteps = 5, buckets = 2,
+        tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
     val b = Walk.metapathChained(tg.repartition(7), starts, schemes, maxSteps = 5,
-        buckets = 5)
+        buckets = 5, tailThreshold = 0L)
       .orderBy("walkerId", "step").collect().toSeq
     assert(a === b)
     // every step honors its walker's scheme mask (etype = (src+dst) mod 3)
@@ -188,7 +271,8 @@ class ChainSpec extends SparkSpec {
     val chain = (0L until 200L).sliding(2).map(p => (p(0), p(1), 1.0)).toSeq
       .toDF("src", "dst", "weight")
     val starts = Seq((0L, 0L), (1L, 50L)).toDF("walkerId", "curV")
-    val fp = Walk.firstOrderChained(chain, starts, maxSteps = 30, buckets = 2)
+    val fp = Walk.firstOrderChained(chain, starts, maxSteps = 30, buckets = 2,
+      tailThreshold = 0L)
     val paths = Walk.paths(fp).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(paths(0L) === (0L to 30L))
     assert(paths(1L) === (50L to 80L))

@@ -50,6 +50,113 @@ class WalkResumeSpec extends SparkSpec {
     assert(resumed === full)
   }
 
+  /** Simulate a mid-walk kill for the CHAINED kernels: run the durable
+    * walk to completion, then delete every round above `keep` from the
+    * store — exactly the state a kill at round-`keep`'s barrier leaves
+    * behind (later rounds have no _SUCCESS / don't exist). */
+  private def truncateStore(store: Iterate.CheckpointStore, name: String, keep: Int): Unit = {
+    val (hi, _) = store.latest(name).get
+    assert(hi > keep, s"walk finished in <= $keep rounds — can't simulate a kill after $keep")
+    val conf = spark.sparkContext.hadoopConfiguration
+    ((keep + 1) to hi).foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(store.iterPath(name, r))
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  test("chained walk kill/resume is bitwise-identical (round-durable)") {
+    val edges = randomEdges(vNum = 60, eNum = 240, seed = 7)
+    val starts = Walk.equalStarts(edges, 120)
+    // tailThreshold 0 forces multiple cogroup rounds (the durable units);
+    // footprints are execution-path-invariant, so comparing against the
+    // default-path run also re-checks tail parity
+    val full = fpSet(Walk.firstOrderChained(edges, starts, maxSteps = 10, seed = 11,
+      buckets = 4))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-chain-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    fpSet(Walk.firstOrderChained(edges, starts, maxSteps = 10, seed = 11, buckets = 4,
+      tailThreshold = 0L, store = Some(store), runName = "cw"))
+    truncateStore(store, "cw", keep = 1)
+    val resumed = fpSet(Walk.firstOrderChained(edges, starts, maxSteps = 10, seed = 11,
+      buckets = 4, tailThreshold = 0L, store = Some(store), runName = "cw"))
+    assert(resumed === full)
+
+    // a resume with a different horizon must fail loudly — chained round
+    // contents depend on maxSteps (walkers stop chaining at the horizon)
+    val e = intercept[IllegalArgumentException] {
+      Walk.firstOrderChained(edges, starts, maxSteps = 12, seed = 11, buckets = 4,
+        store = Some(store), runName = "cw")
+    }
+    assert(e.getMessage.contains("stored params"))
+  }
+
+  test("chained node2vec kill/resume is bitwise-identical (prevNbrs state persisted)") {
+    val edges = randomEdges(vNum = 50, eNum = 250, seed = 9)
+    val starts = Walk.equalStarts(edges, 90)
+    val full = fpSet(Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5,
+      seed = 17, buckets = 4))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-n2vchain-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    fpSet(Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5, seed = 17,
+      buckets = 4, crosserCap = 4, tailThreshold = 0L,
+      store = Some(store), runName = "n2vc"))
+    truncateStore(store, "n2vc", keep = 1)
+    // resume under a DIFFERENT crosserCap/tailThreshold: execution-shape
+    // knobs, not semantics — footprints must still be bitwise-identical
+    val resumed = fpSet(Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5,
+      seed = 17, buckets = 4, store = Some(store), runName = "n2vc"))
+    assert(resumed === full)
+  }
+
+  test("chained stateful kill/resume round-trips typed state through the store") {
+    val edges = randomEdges(vNum = 60, eNum = 300, seed = 21)
+    val starts = Walk.equalStarts(edges, 100)
+    implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+    val cfg = Walk.StatefulConfig[Long](
+      init = (wid, v) => wid * 31L + v,
+      extension = (_, st, _) => if (st % 11 == 0) 0.0 else 0.9,
+      bias = (_, _, _, _, _, _) => 1.0,
+      update = (st, _, _, nxt) => st * 1099511628211L + nxt)
+    def fp4(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("walkerId"), col("step"), col("vertex"), col("state"))
+        .as[(Long, Int, Long, Long)](org.apache.spark.sql.Encoders
+          .tuple(enc, org.apache.spark.sql.Encoders.scalaInt, enc, enc))
+        .collect().toSet
+    val full = fp4(Walk.genericStatefulChained(edges, starts, maxSteps = 8, cfg, seed = 29,
+      buckets = 4))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-gsc-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    fp4(Walk.genericStatefulChained(edges, starts, maxSteps = 8, cfg, seed = 29,
+      buckets = 4, tailThreshold = 0L, store = Some(store), runName = "gsc"))
+    truncateStore(store, "gsc", keep = 1)
+    val resumed = fp4(Walk.genericStatefulChained(edges, starts, maxSteps = 8, cfg, seed = 29,
+      buckets = 4, tailThreshold = 0L, store = Some(store), runName = "gsc"))
+    assert(resumed === full)
+  }
+
+  test("chained metapath kill/resume is bitwise-identical (schemeId persisted)") {
+    val edges = randomEdges(vNum = 60, eNum = 300, seed = 23)
+      .withColumn("etype", pmod(col("src") + col("dst"), lit(3)).cast("int"))
+    val schemes = Seq(
+      Seq(Seq(true, false, true), Seq(false, true, true)),
+      Seq(Seq(true, true, false)))
+    val starts = Walk.equalStarts(edges, 100)
+    val full = fpSet(Walk.metapathChained(edges, starts, schemes, maxSteps = 8, seed = 37,
+      buckets = 4))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-mpc-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    fpSet(Walk.metapathChained(edges, starts, schemes, maxSteps = 8, seed = 37,
+      buckets = 4, tailThreshold = 0L, store = Some(store), runName = "mpc"))
+    truncateStore(store, "mpc", keep = 1)
+    val resumed = fpSet(Walk.metapathChained(edges, starts, schemes, maxSteps = 8, seed = 37,
+      buckets = 4, tailThreshold = 0L, store = Some(store), runName = "mpc"))
+    assert(resumed === full)
+  }
+
   test("portable-RNG walk is deterministic and matches the fast variant's shape") {
     val edges = randomEdges(vNum = 40, eNum = 160, seed = 5)
     val starts = Walk.equalStarts(edges, 50)

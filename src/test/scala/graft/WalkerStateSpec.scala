@@ -157,9 +157,12 @@ class WalkerStateSpec extends SparkSpec {
     val ring = (1L until 99L).map(i => (i, i + 1, 2.0)) :+ ((99L, 1L, 2.0))
     val edges = (star ++ ring).toDF("src", "dst", "weight")
     val starts = Walk.equalStarts(edges, 400)
+    // tailThreshold = 0: the assertion targets the DISTRIBUTED resolution
+    // join — the driver tail (tested for parity in ChainSpec) resolves
+    // hub state locally and would bypass it
     def run(cap: Int) =
       Walk.node2vecChained(edges, starts, maxSteps = 8, p = 2.0, q = 0.5,
-        seed = 33, buckets = 8, crosserCap = cap)
+        seed = 33, buckets = 8, crosserCap = cap, tailThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     // cap = 4: every hub-prev crossing row ships an EMPTY array (bounded)
     // and is re-resolved next round; cap = 1<<30: everything ships inline
@@ -196,8 +199,11 @@ class WalkerStateSpec extends SparkSpec {
       extension = (_: Int, st: HashState, _: Long) =>
         if (java.lang.Long.remainderUnsigned(st.hash, 7) == 0) 0.0 else 0.95)
     val join = fpSet(Walk.genericStateful(edges, starts, maxSteps = 10, cfg, seed = 83))
+    // tailThreshold = 0 pins the cogroup path; chained2 (300 walkers,
+    // default threshold) runs entirely in the driver tail — so this test
+    // asserts BOTH chained execution paths bitwise against the join engine
     val chained5 = fpSet(Walk.genericStatefulChained(edges, starts, maxSteps = 10, cfg,
-      seed = 83, buckets = 5))
+      seed = 83, buckets = 5, tailThreshold = 0L))
     val chained2 = fpSet(Walk.genericStatefulChained(edges, starts, maxSteps = 10, cfg,
       seed = 83, buckets = 2))
     assert(chained5 === join)
