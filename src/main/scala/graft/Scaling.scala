@@ -100,6 +100,23 @@ object Scaling {
         p = 2.0, q = 0.5, buckets = 32).count() - nWalkers
       ((), n)
     }
+    // typed-state chained engine (VERDICT r4 #6: the stateful surface —
+    // the reference's arbitrary walker_data_t — had zero N→4N evidence).
+    // State = 64-bit rolling hash; Pe and the dynamic bias both read it,
+    // so the phase exercises state-dependent termination + Pd through the
+    // chained cogroup kernel, including its run-local CSR build.
+    phase("stateful_chained", "steps") {
+      implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+      val cfg = Walk.StatefulConfig[Long](
+        init = (wid, v) => wid * 1099511628211L + v,
+        extension = (_, st, _) =>
+          if (java.lang.Long.remainderUnsigned(st, 17L) == 0L) 0.0 else 0.97,
+        bias = (_, st, _, dst, _, _) => if (((st ^ dst) & 1L) == 0L) 1.0 else 0.5,
+        update = (st, _, _, nxt) => st * 1099511628211L + nxt)
+      val n = Walk.genericStatefulChained(edges, starts, maxSteps = walkLen, cfg,
+        buckets = 32).count() - nWalkers
+      ((), n)
+    }
     starts.unpersist(false)
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense

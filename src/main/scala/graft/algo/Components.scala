@@ -111,8 +111,13 @@ object Components {
             parent.put(math.max(ra, rb), math.min(ra, rb))
           }
         }
-        parent.entrySet().iterator().asScala
-          .map(e => (e.getKey.longValue, find(e.getKey)))
+        // snapshot the key set before emitting: find() path-compression
+        // puts would otherwise race the live entrySet iterator — safe
+        // today only because every put hits an existing key, and that
+        // invariant should not be load-bearing (ADVICE r4)
+        val ks = parent.keySet().iterator().asScala.map(_.longValue).toArray
+        ks.iterator
+          .map(k => (k, find(k)))
           .filter { case (v, r) => v != r }
       }
       .toDF("v", "root")
@@ -246,13 +251,23 @@ object Components {
     val parents = stars.groupBy(col("dst").as("v")).agg(min("src").as("comp"))
     mappingOpt match {
       case Some(mapping) =>
-        // compose: v → localRoot → global comp. Both the local root and
-        // the global parent are component minima, so coalescing through
-        // the two levels yields the exact global minimum id.
-        val roots = verts.join(mapping, Seq("v"), "left")
-          .select(col("v"), coalesce(col("root"), col("v")).as("r"))
-        roots.join(parents.withColumnRenamed("v", "r"), Seq("r"), "left")
-          .select(col("v"), coalesce(col("comp"), col("r")).as("comp"))
+        // compose: v → localRoot → global comp, folded OFF the |V| spine
+        // (VERDICT r4 #5 — cc at 4N was compose-join bound): rewrite the
+        // SMALL parents set over the mapping once, then the verts spine
+        // pays ONE left join instead of two. The union's key sets are
+        // disjoint by construction — mapping keys are locally-contracted
+        // non-roots (v ≠ root rows only), parents keys are members of
+        // the post-contraction star forest (local roots and
+        // never-contracted vertices) — so no vertex resolves twice. Both
+        // levels carry component minima, so the coalesce chain yields
+        // the exact global minimum id.
+        val composed = mapping
+          .join(parents.withColumnRenamed("v", "r"),
+            col("root") === col("r"), "left")
+          .select(col("v"), coalesce(col("comp"), col("root")).as("comp"))
+          .unionAll(parents)
+        verts.join(composed, Seq("v"), "left")
+          .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
       case None =>
         verts.join(parents, Seq("v"), "left")
           .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))

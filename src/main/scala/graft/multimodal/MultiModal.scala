@@ -96,7 +96,11 @@ object MultiModal {
             fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             s"expected mono 16-bit LE signed PCM, got $fmt")
           val data = in.readAllBytes()
-          val n = data.length / 2
+          // Long count for symmetry with the image path's divisor fix: a
+          // >= 2^31-sample stream would overflow an Int count. Byte
+          // arrays cap below that today — the invariant should not be
+          // load-bearing (VERDICT r4 hygiene).
+          val n = data.length.toLong / 2
           val acc = new Array[Float](dim)
           var i = 0
           while (i < n) {
@@ -104,7 +108,7 @@ object MultiModal {
             acc((s & 0xFFFF) % dim) += 1f // bucket the unsigned 16-bit view
             i += 1
           }
-          (acc.map(_ / math.max(1, n)), n.toLong)
+          (acc.map(_ / math.max(1L, n)), n)
         case _ => StubCodec.decodeFeatures(kind, bytes, dim)
       }
   }

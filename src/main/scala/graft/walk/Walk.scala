@@ -1975,7 +1975,7 @@ object Walk {
         col("adjl.dst").as("nbrs"), col("adjl.weight").as("wts"), col("adjl.etype").as("etypes"))
       .repartition(col("v"))
       .sortWithinPartitions("v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
     // filter the allowed sub-adjacency, then the same capped inverse-CDF
