@@ -23,7 +23,13 @@ cd /root/repo
 mkdir -p target/campaigns
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-JOPTS="-XX:+UseParallelGC -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx32g"
+# spark.network.timeout raised: ParallelGC full collections of the 32g
+# heap on a 2-thread (ActiveProcessorCount-pinned) N level can pause
+# >120 s, and the default heartbeat timeout then REMOVES the local
+# executor and fails the run (observed 20:35 pagerank_10it, 1.5M corpus:
+# "no recent heartbeats: 125758 ms exceeds timeout 120000 ms"). The
+# pause itself still lands honestly in the phase's gc-sec column.
+JOPTS="-XX:+UseParallelGC -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s -Xmx32g"
 java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 2 BENCH/PAIR_v4_2_8.md > target/campaigns/1500k.log 2>&1
 echo "1500k rc=$?" >> target/campaigns/status
 java $OPENS $JOPTS -cp "$CP" graft.Scaling 3000000 2 BENCH/PAIR_v4_3M_2_8.md > target/campaigns/3M.log 2>&1
