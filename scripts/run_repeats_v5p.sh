@@ -1,0 +1,24 @@
+#!/bin/bash
+# v5p: repeat-sampling the north-rule phases at the asymptote size.
+# Three identical derive+pagerank+cc pairs at 3M convs / 64.3M edges,
+# local[8] -> local[32], v5h envelope (G1 + AQE coalesce pin). The host
+# swings per-child service up to 4x (BENCH/BASELINE.md variance record),
+# so the scaling claim at this size rests on MEDIANS across pairs, with
+# per-phase cpu-sec flatness as the validity filter. Uses the
+# SPARK_GRAFT_PHASES filter so each pair costs ~15-40 min instead of
+# the full workload's 30-90.
+set -x
+cd /root/repo
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s -Dspark.sql.adaptive.coalescePartitions.parallelismFirst=false -Xmx32g"
+export SPARK_GRAFT_PHASES="derive_edges,pagerank_10it,cc_conv"
+
+for i in 1 2 3; do
+  java $OPENS $JOPTS -cp "$CP" graft.Scaling 3000000 8 "BENCH/PAIR_v5p_3M_r${i}.md" \
+    > "target/campaigns/v5p_3M_r${i}.log" 2>&1
+  echo "v5p r${i} rc=$?" >> target/campaigns/status
+  cp /tmp/graft-scaling-8.tsv  "BENCH/PAIR_v5p_3M_r${i}_N.tsv"  2>/dev/null
+  cp /tmp/graft-scaling-32.tsv "BENCH/PAIR_v5p_3M_r${i}_4N.tsv" 2>/dev/null
+done
+echo "v5p repeats complete" >> target/campaigns/status
