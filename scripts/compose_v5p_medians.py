@@ -26,7 +26,7 @@ def read(path):
 def main():
     base = sys.argv[1] if len(sys.argv) > 1 else "BENCH/PAIR_v5p_3M"
     reps = []
-    for i in (1, 2, 3, 4):
+    for i in (1, 2, 3, 4, 5, 6):
         try:
             reps.append((read(f"{base}_r{i}_N.tsv"), read(f"{base}_r{i}_4N.tsv")))
         except FileNotFoundError:
