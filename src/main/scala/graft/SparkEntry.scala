@@ -128,6 +128,20 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // the same walk via the reference's ACTUAL sampling strategy —
+    // rejection with lower-bound pre-accept (T4) and the return-edge
+    // outlier appendix (T5); p=0.5 puts 1/p above the regular upper
+    // bound so the appendix is live, and every dartboard constant is
+    // dyadic, so the DuckDB replay is draw-for-draw exact
+    "q_node2vec_reject" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      Walk.pathStrings(
+          Walk.node2vecReject(edges, starts, maxSteps = 6, p = 0.5, q = 2.0,
+            seed = 42, portableRng = true))
+        .orderBy("walkerId")
+    }),
+
     "q_node2vec" -> ((s, dir) => {
       val edges = eventEdges(s, dir)
       val starts = Walk.equalStarts(edges, 2000)
@@ -417,6 +431,80 @@ SELECT curV AS v, COUNT(*) AS visits FROM walk GROUP BY 1 ORDER BY v"""
 )
 SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
 FROM walk GROUP BY walkerId ORDER BY walkerId"""
+  }
+
+  /** Per-(walker, step, TRIAL) draw — the rejection engine re-rolls at the
+    * same position, so trial joins the md5 key (twin of Walk.node2vecReject
+    * randT). */
+  private def randTSql(walker: String, step: String, trial: String, salt: String): String =
+    s"(CAST(('0x' || substr(md5(42 || ':' || $walker || ':' || $step || ':' || $trial || ':' || '$salt'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+
+  /** [[pickSql]] with the dart position given directly (already scaled to
+    * weight space) instead of a unit uniform — the rejection dartboard
+    * reuses its area draw as the proposal position. */
+  private def pickDartSql(nbrs: String, wts: String, dart: String): String =
+    s"$nbrs[1 + len(list_filter(range(1, len($wts)), j -> list_sum(list_slice($wts, 1, j)) <= ($dart)))]"
+
+  /** Rejection-sampling node2vec replay (q_node2vec_reject): walk state
+    * carries the TRIAL counter and each recursive step is ONE dartboard
+    * proposal — outlier appendix hit (decided 3), lower-bound pre-accept
+    * (2), local return-edge decision (±1), or the prevV membership
+    * response (0 → resolved against list_contains) — accepted rows
+    * advance with trial reset, rejected rows re-enter the same position
+    * with trial+1: row-for-row the Spark engine's outer iteration. With
+    * p=0.5, q=2 every constant (1/p=2, 1/q=0.5, ub=1, lb=0.5) is dyadic
+    * and edge weights are integers, so all float ops match bitwise. */
+  private def node2vecRejectSql: String = {
+    val p = 0.5; val q = 2.0
+    val invP = 1.0 / p; val invQ = 1.0 / q
+    val ub = math.max(1.0, invQ)
+    val lb = math.min(invP, math.min(1.0, invQ))
+    val retPd = math.min(invP, ub)
+    val dart = pickDartSql("nbrs", "wts", s"r0 / $ub")
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV, prevV, trial) AS (
+  SELECT walkerId, 0, curV, CAST(NULL AS BIGINT), 0 FROM starts
+  UNION ALL
+  SELECT walkerId,
+         CASE WHEN decided >= 1 THEN step + 1 ELSE step END,
+         CASE WHEN decided >= 1 THEN cand ELSE curV END,
+         CASE WHEN decided >= 1 THEN curV ELSE prevV END,
+         CASE WHEN decided >= 1 THEN 0 ELSE trial + 1 END
+  FROM (
+    SELECT q3.*,
+      CASE WHEN known <> 0 THEN known
+           WHEN u <= (CASE WHEN COALESCE(list_contains(pnbrs, cand), FALSE) THEN 1.0 ELSE $invQ END) THEN 1
+           ELSE -1 END AS decided
+    FROM (
+      SELECT q2.*,
+        CASE WHEN prevV IS NULL THEN 1
+             WHEN r0 >= $ub * wsum THEN 3
+             WHEN u <= $lb THEN 2
+             WHEN cand = prevV THEN (CASE WHEN u <= $retPd THEN 1 ELSE -1 END)
+             ELSE 0 END AS known
+      FROM (
+        SELECT q1.*,
+          CASE WHEN prevV IS NULL THEN ${pickSql("nbrs", "wts", randSql("q1.walkerId", "q1.step", "s"))}
+               WHEN r0 >= $ub * wsum THEN prevV
+               ELSE $dart END AS cand
+        FROM (
+          SELECT w.walkerId, w.step, w.curV, w.prevV, w.trial,
+                 a.nbrs AS nbrs, a.wts AS wts, pa.nbrs AS pnbrs,
+                 list_sum(a.wts) AS wsum,
+                 ${randTSql("w.walkerId", "w.step", "w.trial", "area")}
+                   * ($ub * list_sum(a.wts)
+                      + GREATEST($invP - $ub, 0) * COALESCE(a.wts[list_position(a.nbrs, w.prevV)], 0)) AS r0,
+                 ${randTSql("w.walkerId", "w.step", "w.trial", "dart")} * $ub AS u
+          FROM walk w JOIN adj a ON w.curV = a.v LEFT JOIN adj pa ON w.prevV = pa.v
+          WHERE w.step < 6
+        ) q1
+      ) q2
+    ) q3
+  ) WHERE cand IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
   }
 
   /** Metapath replay: walker w follows scheme (w mod 2); scheme 0's masks
@@ -740,6 +828,8 @@ ORDER BY asset_id, frame_idx""",
     "q_ppr_visits" -> pprSql,
 
     "q_node2vec" -> node2vecSql,
+
+    "q_node2vec_reject" -> node2vecRejectSql,
 
     "q_metapath" -> metapathSql,
   ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))

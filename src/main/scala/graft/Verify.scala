@@ -34,7 +34,13 @@ object Verify {
     }
     // oracle json first: it must exist even if a query below dies
     dumpOracle()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated query filter for single-query iteration
+    // (the driver sets no filter and always runs the full gate)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -825,6 +825,20 @@ object Walk {
     ()
   }
 
+  /** Test hook: one (preaccepted, appendixAccepted, membershipJoined)
+    * entry per [[node2vecReject]] outer iteration — RejectSpec asserts
+    * the lower-bound pre-accept (T4) keeps rows OUT of the membership
+    * join and the outlier appendix (T5) fires when 1/p > ub. Bounded
+    * like [[resolutionLog]] (same ADVICE r4 rationale). */
+  private[graft] val rejectLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+
+  private def logReject(entry: (Long, Long, Long)): Unit = {
+    while (rejectLog.size() >= 10000) rejectLog.poll()
+    rejectLog.add(entry)
+    ()
+  }
+
   /** Total neighbour ids the chained driver tail may hold in its local
     * adjacency map before evicting (≈ 64 MB of longs) — a tail can touch
     * up to tailThreshold × maxSteps distinct vertices over its lifetime,
@@ -1950,6 +1964,197 @@ object Walk {
     }
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
       .reduce(_ unionAll _)
+  }
+
+  /** One second-order rejection trial — the reference's dartboard
+    * (include/walk.hpp:981-1014 outlier areas, :1033/:1226-1229
+    * lower-bound pre-acceptance, :1126-1379 three-phase engine;
+    * src/apps/node2vec.hpp:108-202 node2vec bounds: ub = max(1, 1/q),
+    * lb = min(1/p, 1, 1/q), the return edge is the single outlier when
+    * 1/p > ub). Returns (candidate, decided):
+    *
+    *  -  3  appendix-area hit — the outlier (return) edge's Pd is exactly
+    *        1/p, so an appendix dart always accepts (T5)
+    *  -  2  dart height ≤ lb — accepted WITHOUT evaluating Pd, i.e.
+    *        without the prevV membership query (T4)
+    *  -  1  known accept (candidate == prevV: Pd = min(1/p, ub) locally)
+    *  - -1  known reject (same, dart above min(1/p, ub))
+    *  -  0  needs the prevV-neighbourhood membership response (T6) —
+    *        resolved by the caller's join; ONLY these rows join
+    *  - None: no out-edges / zero static mass — walker terminates.
+    *
+    * Per trial P(propose c, accept) = w_c·Pd(c)/(ub·W + appendix), so
+    * conditioned on acceptance the step follows the exact node2vec law —
+    * the same distribution [[node2vecSample]] computes in closed form
+    * (rejection never changes the law, only the query traffic). */
+  private val node2vecProposeReject =
+    udf { (nbrs: Seq[Long], wts: Seq[Double], prevV: java.lang.Long,
+           p: Double, q: Double, rArea: Double, rDart: Double) =>
+      val n = nbrs.size
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += wts(i); i += 1 }
+      if (n == 0 || total <= 0.0) None
+      else {
+        val invP = 1.0 / p
+        val invQ = 1.0 / q
+        val ub = math.max(1.0, invQ)
+        val lb = math.min(invP, math.min(1.0, invQ))
+        val pv = if (prevV == null) -1L else prevV.longValue
+        val retIdx =
+          if (pv < 0) -1 else java.util.Arrays.binarySearch(nbrs.toArray, pv)
+        val wRet = if (retIdx >= 0) wts(retIdx) else 0.0
+        val aReg = ub * total
+        val r0 = rArea * (aReg + math.max(0.0, invP - ub) * wRet)
+        if (r0 >= aReg) Some((pv, 3))
+        else {
+          val dart = r0 / ub
+          var cum = 0.0
+          var j = 0
+          while (j < n - 1 && { cum += wts(j); cum <= dart }) j += 1
+          val c = nbrs(j)
+          val u = rDart * ub
+          if (u <= lb) Some((c, 2))
+          else if (c == pv) Some((c, if (u <= math.min(invP, ub)) 1 else -1))
+          else Some((c, 0))
+        }
+      }
+    }
+
+  /** Second-order node2vec walk via KnightKing-style REJECTION sampling —
+    * the reference's actual sampling strategy (SURVEY.md §2.4 T4/T5), as
+    * an alternative engine to the exact-distribution [[node2vec]]:
+    * propose from the static weights (dartboard over ub·W plus the
+    * return-edge outlier appendix), pre-accept below the Pd lower bound,
+    * and send ONLY the undecided proposals through the prevV-membership
+    * join (the reference's state query/response, T6). Rejected walkers
+    * re-enter the frontier at the same position with `trial`+1 —
+    * reference walk.hpp:1361-1364 re-emits rejected walkers to the same
+    * vertex — so each outer iteration is one proposal per active walker,
+    * exactly the reference super-step. Same law as [[node2vec]]
+    * (frequency-matrix-tested), different traffic: per accepted step the
+    * membership join sees (1 − lb/ub) of proposals instead of every
+    * walker (paper Table 5a: −25% edges computed from lb alone).
+    *
+    * All draws key on (seed, walkerId, step, trial, salt), so the walk is
+    * deterministic across parallelism levels and — with `portableRng` —
+    * replayable draw-for-draw by the DuckDB oracle (q_node2vec_reject). */
+  def node2vecReject(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      p: Double = 1.0,
+      q: Double = 1.0,
+      seed: Long = 42L,
+      portableRng: Boolean = false,
+      runName: String = "n2vreject"): DataFrame = {
+    require(1.0 / p > 0.0 && 1.0 / q > 0.0,
+      s"rejection sampling needs positive dynamic factors (p=$p q=$q): " +
+        "an infinite p or q gives some steps zero acceptance probability " +
+        "(the exact-distribution node2vec engine handles those)")
+    val adj = GraphOps.adjacencyCached(edges)
+    val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
+    val invQ = 1.0 / q
+    val ub = math.max(1.0, invQ)
+
+    // per-(walker, step, TRIAL) draw — retries at the same position must
+    // see fresh randomness (reference re-rolls per proposal)
+    def randT(salt: String): Column =
+      if (portableRng)
+        graft.text.TextOps.h64(concat_ws(":", lit(seed), col("walkerId"),
+            col("step"), col("trial"), lit(salt)))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+      else Synth.hashRand(lit(seed), col("walkerId"), col("step"),
+        col("trial"), lit(salt))
+
+    var frontier: DataFrame = truncateReal(starts.select(
+      col("walkerId"), lit(0).as("step"), col("curV"),
+      lit(null).cast("long").as("prevV"), lit(0).as("trial")))
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    history += frontier.select(col("walkerId"), col("step"),
+      col("curV").as("vertex"))
+
+    try {
+      var active = frontier.count()
+      var iter = 0
+      while (active > 0) {
+        iter += 1
+        val light = active < LightModeThreshold
+        val frontSide = if (light) broadcast(frontier) else frontier
+        val adjSide =
+          if (light) pruneAdjToFrontier(adj, frontier, "v", "curV") else adj
+        val firstStep =
+          if (portableRng) inverseCdfSample(col("nbrs"), col("wts"), randP(seed, "s"))
+          else graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"),
+            col("alias"), rand(seed, "a1"), rand(seed, "a2"))
+        val proposed = frontSide
+          .join(adjSide, frontSide("curV") === adjSide("v"))
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"),
+            when(col("prevV").isNull,
+                struct(firstStep.as("_1"), lit(1).as("_2")))
+              .otherwise(node2vecProposeReject(col("nbrs"), col("wts"),
+                col("prevV"), lit(p), lit(q), randT("area"), randT("dart")))
+              .as("prop"),
+            (randT("dart") * lit(ub)).as("u"))
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"), col("prop._1").as("cand"),
+            col("prop._2").as("decided"), col("u"))
+          .filter(col("cand").isNotNull)
+        // one materialization of the trial results: the observe metrics,
+        // the known/unknown split, and the light-mode prevV IN-set prune
+        // all read the SAME rows (no per-consumer recompute of the draw)
+        val obs = org.apache.spark.sql.Observation()
+        val (flat, _) = truncateRealCounted(proposed.observe(obs,
+          count(when(col("decided") === 2, lit(1))).as("preaccept"),
+          count(when(col("decided") === 3, lit(1))).as("appendix"),
+          count(when(col("decided") === 0, lit(1))).as("joined")))
+        val nJoin = obs.get("joined").asInstanceOf[Long]
+        val known = flat.filter(col("decided") =!= 0)
+        val unknown = flat.filter(col("decided") === 0)
+        val nbrSide =
+          if (nJoin == 0) nbrSets.filter(lit(false))
+          else if (nJoin < LightModeThreshold)
+            broadcast(pruneAdjToFrontier(nbrSets, unknown, "pv", "prevV"))
+          else nbrSets
+        val resolved = unknown
+          .join(nbrSide, unknown("prevV") === nbrSide("pv"), "left")
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"), col("cand"),
+            when(col("u") <=
+                when(coalesce(array_contains(col("prevNbrs"), col("cand")),
+                  lit(false)), lit(1.0)).otherwise(lit(invQ)),
+              lit(1)).otherwise(lit(-1)).as("decided"),
+            col("u"))
+        val all = known.unionAll(resolved)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        roundCaches += all
+        val accepted = all.filter(col("decided") >= 1).select(
+          col("walkerId"), (col("step") + 1).as("step"),
+          col("cand").as("curV"), col("curV").as("prevV"),
+          lit(0).as("trial"))
+        history += accepted.select(col("walkerId"), col("step"),
+          col("curV").as("vertex"))
+        val rejected = all.filter(col("decided") === -1).select(
+          col("walkerId"), col("step"), col("curV"), col("prevV"),
+          (col("trial") + 1).as("trial"))
+        val (f2, n) = truncateRealCounted(
+          accepted.filter(col("step") < lit(maxSteps)).unionAll(rejected))
+        frontier = f2
+        active = n
+        val nPre = obs.get("preaccept").asInstanceOf[Long]
+        val nApp = obs.get("appendix").asInstanceOf[Long]
+        logReject((nPre, nApp, nJoin))
+        System.err.println(s"[graft:$runName] iter=$iter active=$active " +
+          s"preaccept=$nPre appendix=$nApp joined=$nJoin")
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    }
   }
 
   /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:

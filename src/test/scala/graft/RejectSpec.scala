@@ -1,0 +1,132 @@
+package graft
+
+import graft.walk.Walk
+
+/** KnightKing-style rejection-sampling second-order engine (SURVEY.md §2.4
+  * T4/T5; reference include/walk.hpp:981-1014, 1033, 1126-1379 and
+  * src/apps/node2vec.hpp:108-202): the rejection dartboard with
+  * lower-bound pre-acceptance and the return-edge outlier appendix must
+  * produce EXACTLY the node2vec law the exact-distribution engine
+  * computes in closed form — rejection changes the query traffic, never
+  * the distribution. */
+class RejectSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val smallGraph = randomEdges(vNum = 30, eNum = 200, seed = 13).cache()
+
+  /** Empirical P(v2 | v0→v1) over many walkers vs the analytic node2vec
+    * law (same harness as WalkSpec's exact-engine matrix test). */
+  private def freqCheck(p: Double, q: Double, seed: Long): Unit = {
+    val edges = collectEdges(smallGraph)
+    val adjm =
+      edges.groupBy(_._1).view.mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    val fp = Walk.node2vecReject(smallGraph, Walk.equalStarts(smallGraph, 60000),
+      maxSteps = 2, p = p, q = q, seed = seed)
+    val paths =
+      Walk.paths(fp).collect().map(r => r.getSeq[Long](1)).filter(_.size == 3)
+    val byEdge = paths.groupBy(pp => (pp(0), pp(1)))
+    var sqErr = 0.0; var cases = 0
+    for (((v0, v1), ps) <- byEdge if ps.length >= 300) {
+      val nbrs = adjm(v1)
+      val biased = nbrs.map { case (c, w) =>
+        val bias = if (c == v0) 1 / p
+          else if (adjm.get(v0).exists(_.contains(c))) 1.0
+          else 1 / q
+        c -> w * bias
+      }
+      val tot = biased.values.sum
+      val counts = ps.groupBy(_(2)).view.mapValues(_.length).toMap
+      // support: only actual out-edges of v1 are ever accepted
+      assert(counts.keySet.subsetOf(nbrs.keySet))
+      for ((c, bw) <- biased) {
+        val gotP = counts.getOrElse(c, 0).toDouble / ps.length
+        val expP = bw / tot
+        sqErr += (gotP - expP) * (gotP - expP); cases += 1
+      }
+    }
+    assert(cases > 50, s"only $cases cases with enough samples")
+    assert(sqErr / cases < 0.001, s"mean sqErr ${sqErr / cases} (p=$p q=$q)")
+  }
+
+  test("rejection engine matches the exact node2vec law — outlier regime (1/p > ub)") {
+    // p=0.5 ⇒ 1/p = 2 > ub = max(1, 1/q) = 1: the return edge is the
+    // reference's single outlier (node2vec.hpp:137-139) and the appendix
+    // area is live on every step whose current vertex can walk back
+    Walk.rejectLog.clear()
+    freqCheck(p = 0.5, q = 2.0, seed = 31)
+    val its = Walk.rejectLog.iterator()
+    var pre = 0L; var app = 0L; var joined = 0L
+    while (its.hasNext) {
+      val (a, b, c) = its.next(); pre += a; app += b; joined += c
+    }
+    // T4: the lower bound (lb = 0.5, ub = 1) pre-accepts about half the
+    // regular proposals without any membership query; T5: appendix darts
+    // land (1/p > ub and the graph has return edges)
+    assert(pre > 0, "lower-bound pre-acceptance never fired")
+    assert(app > 0, "outlier appendix never hit despite 1/p > ub")
+    assert(joined < pre + app + joined,
+      "every proposal went through the membership join — T4 saved nothing")
+  }
+
+  test("rejection engine matches the exact node2vec law — no-outlier regime") {
+    // p=2, q=0.5 ⇒ 1/p = 0.5 ≤ ub = 2: no outlier, appendix area is zero
+    Walk.rejectLog.clear()
+    freqCheck(p = 2.0, q = 0.5, seed = 37)
+    val its = Walk.rejectLog.iterator()
+    var app = 0L
+    while (its.hasNext) app += its.next()._2
+    assert(app == 0, s"appendix hit $app times with 1/p <= ub")
+  }
+
+  test("deterministic across runs and parallelism; one footprint per accepted position") {
+    val starts = Walk.equalStarts(smallGraph, 500)
+    val run1 = Walk.node2vecReject(smallGraph, starts, maxSteps = 4,
+      p = 0.5, q = 2.0, seed = 7).collect().map(_.toString).sorted
+    val run2 = Walk.node2vecReject(smallGraph, starts, maxSteps = 4,
+      p = 0.5, q = 2.0, seed = 7).collect().map(_.toString).sorted
+    assert(run1.sameElements(run2))
+    // rejected trials never duplicate a footprint: (walkerId, step) unique
+    val fp = Walk.node2vecReject(smallGraph, starts, maxSteps = 4,
+      p = 0.5, q = 2.0, seed = 7)
+    assert(fp.groupBy("walkerId", "step").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("zero-out-degree vertices terminate walkers (reference walk.hpp:956-961)") {
+    // b and d are sinks: every walker stops the moment it reaches one
+    val chain = Seq((0L, 1L, 1.0), (0L, 3L, 1.0), (2L, 0L, 2.0))
+      .toDF("src", "dst", "weight")
+    val starts = Seq((0L, 2L), (1L, 0L)).toDF("walkerId", "curV")
+    val fp = Walk.node2vecReject(chain, starts, maxSteps = 8,
+      p = 0.5, q = 2.0, seed = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalker = fp.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byWalker(0L) == 2, "walker from 2 goes 2→0→{1|3} then dies")
+    assert(byWalker(1L) == 1, "walker from 0 takes one step then dies")
+    val ends = fp.filter(r => r._2 == byWalker(r._1)).map(_._3).toSet
+    assert(ends.subsetOf(Set(1L, 3L)))
+  }
+
+  test("p=q=1 collapses to the first-order law (every dart pre-accepts at lb = ub)") {
+    Walk.rejectLog.clear()
+    // sink-free graph (ring ∪ random chords): every walker must survive
+    // to maxSteps in BOTH engines, so the step structure is comparable
+    import org.apache.spark.sql.functions.min
+    val ring = (0L until 30L).map(v => (v, (v + 1) % 30, 1.0))
+      .toDF("src", "dst", "weight")
+    val strong = smallGraph.unionAll(ring)
+      .groupBy("src", "dst").agg(min("weight").as("weight"))
+    val starts = Walk.equalStarts(strong, 2000)
+    val rej = Walk.node2vecReject(strong, starts, maxSteps = 5,
+      p = 1.0, q = 1.0, seed = 11)
+    // lb = ub = 1 ⇒ u ≤ lb always: zero rejections, zero membership joins
+    val its = Walk.rejectLog.iterator()
+    var joined = 0L
+    while (its.hasNext) joined += its.next()._3
+    assert(joined == 0, s"$joined membership joins with lb = ub")
+    // same termination/step structure as the exact engine on the same walk
+    val exact = Walk.node2vec(strong, starts, maxSteps = 5,
+      p = 1.0, q = 1.0, seed = 11)
+    assert(rej.groupBy("step").count().orderBy("step").collect().toSeq ==
+      exact.groupBy("step").count().orderBy("step").collect().toSeq)
+  }
+}
