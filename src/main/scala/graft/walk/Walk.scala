@@ -2157,6 +2157,202 @@ object Walk {
     }
   }
 
+  /** Static-distribution proposal for the generic rejection engine:
+    * inverse-CDF over the statics, returning BOTH the candidate and its
+    * raw edge weight (the user Pd hook receives the weight — same
+    * contract as [[dyn2SampleUdf]]). */
+  private val staticProposeUdf =
+    udf { (nbrs: Seq[Long], statics: Seq[Double], wts: Seq[Double], r: Double) =>
+      val n = nbrs.size
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += statics(i); i += 1 }
+      if (n == 0 || total <= 0.0) None
+      else {
+        val dart = r * total
+        var cum = 0.0
+        var j = 0
+        while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
+        Some((nbrs(j), wts(j)))
+      }
+    }
+
+  /** Membership-resolution verdict for [[generic2Reject]]: evaluate the
+    * user Pd against the joined prevNbrs and accept iff the dart height
+    * clears it. A Pd outside the user's declared bounds is a CONTRACT
+    * violation that would silently skew the law (pre-accepted darts
+    * assume lb ≤ Pd; the dartboard assumes Pd ≤ ub), so it fails loudly
+    * on every evaluated candidate (pre-accepted rows are by definition
+    * not evaluated — best-effort, like the reference, which trusts the
+    * bounds entirely: include/walk.hpp:241-271). */
+  private def resolveRejectUdf(
+      f: (Int, Long, Seq[Long], Long, Double) => Double,
+      upper: Double, lower: Double) =
+    udf { (step: Int, prevV: Long, prevNbrs: Seq[Long], cand: Long,
+           candW: Double, u: Double) =>
+      val pd = f(step, prevV, prevNbrs, cand, candW)
+      require(pd <= upper && pd >= lower,
+        s"user Pd $pd outside declared bounds [$lower, $upper] " +
+          s"(step=$step prevV=$prevV cand=$cand)")
+      if (u <= pd) 1 else -1
+    }
+
+  /** Second-order walk under a user [[SecondOrderConfig]] sampled by
+    * REJECTION with user-declared dynamic bounds — the reference's
+    * generic rejection surface (`dcomp_upperbound_func` /
+    * `dcomp_lowerbound_func`, include/walk.hpp:241-271; pre-accept
+    * :1033/:1226-1229): propose from the static distribution, darts ≤
+    * `lower` accept WITHOUT resolving the previous vertex's neighbour
+    * set, and only undecided proposals evaluate the user Pd against the
+    * joined prevNbrs — the join sees (1 − lb/ub) of proposals instead of
+    * every walker. [[node2vecReject]] is the specialized instance (plus
+    * the return-edge outlier appendix, which needs Pd knowledge the
+    * generic surface doesn't have). Same law as [[generic2]].
+    *
+    * Zero-dynamic-mass positions (every candidate's Pd = 0) reject
+    * forever under pure rejection — the reference simply requires users
+    * avoid them. Here a walker that rejects `maxTrials` times falls back
+    * to ONE exact-distribution draw ([[dyn2SampleUdf]]) at its position:
+    * each trial is independent, and both samplers draw the identical
+    * accept-conditional law, so the fallback changes nothing
+    * distributionally — it only bounds the iteration count
+    * (≤ maxSteps·(maxTrials+1)) and gives zero-mass walkers the same
+    * death [[generic2]] gives them.
+    *
+    * @param upper must dominate every Pd value the hook can return
+    * @param lower must not exceed any Pd value (0 disables pre-accept)
+    */
+  def generic2Reject(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      config: SecondOrderConfig,
+      upper: Double,
+      lower: Double = 0.0,
+      maxTrials: Int = 64,
+      seed: Long = 42L,
+      runName: String = "gwalk2rej"): DataFrame = {
+    require(upper > 0 && lower >= 0 && lower <= upper,
+      s"need 0 <= lower <= upper and upper > 0 (got lower=$lower upper=$upper)")
+    require(maxTrials >= 1, s"maxTrials must be >= 1 (got $maxTrials)")
+    val adj = GraphOps.adjacencyCached(edges)
+      .withColumn("statics", config.static match {
+        case StaticComp.EdgeWeight => col("wts")
+        case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
+      })
+    val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
+    val dyn = dyn2SampleUdf(config.dynamic2)
+    val resolve = resolveRejectUdf(config.dynamic2, upper, lower)
+
+    def randT(salt: String): Column =
+      Synth.hashRand(lit(seed), col("walkerId"), col("step"),
+        col("trial"), lit(salt))
+
+    var frontier: DataFrame = truncateReal(starts.select(
+      col("walkerId"), lit(0).as("step"), col("curV"),
+      lit(null).cast("long").as("prevV"), lit(0).as("trial")))
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    history += frontier.select(col("walkerId"), col("step"),
+      col("curV").as("vertex"))
+
+    try {
+      var active = frontier.count()
+      var iter = 0
+      while (active > 0) {
+        iter += 1
+        // Pe keys on (walkerId, step): deterministic, so re-testing a
+        // rejected walker at the same position repeats the same draw —
+        // one extension decision per position, like generic2
+        val aliveRaw = applyExtension(frontier, config.extension, seed,
+          portable = false)
+        val light = active < LightModeThreshold
+        val aliveL = if (light) lightFrontier(aliveRaw) else aliveRaw
+        val frontSide = if (light) broadcast(aliveL) else aliveL
+        val adjSide =
+          if (light) pruneAdjToFrontier(adj, aliveL, "v", "curV") else adj
+        val normal = frontSide.filter(col("trial") < maxTrials)
+        val escal = frontSide.filter(col("trial") >= maxTrials)
+        val firstStep =
+          inverseCdfSample(col("nbrs"), col("statics"), rand(seed, "s"))
+        val proposed = normal
+          .join(adjSide, normal("curV") === adjSide("v"))
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"),
+            when(col("prevV").isNull,
+                struct(firstStep.as("_1"), lit(0.0).as("_2")))
+              .otherwise(staticProposeUdf(col("nbrs"), col("statics"),
+                col("wts"), randT("area"))).as("prop"),
+            (randT("dart") * lit(upper)).as("u"))
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"), col("prop._1").as("cand"),
+            col("prop._2").as("candW"),
+            when(col("prevV").isNull, lit(1))
+              .when(col("u") <= lit(lower), lit(2))
+              .otherwise(lit(0)).as("decided"),
+            col("u"))
+          .filter(col("cand").isNotNull)
+        val obs = org.apache.spark.sql.Observation()
+        val (flat, _) = truncateRealCounted(proposed.observe(obs,
+          count(when(col("decided") === 2, lit(1))).as("preaccept"),
+          count(when(col("decided") === 0, lit(1))).as("joined")))
+        val nJoin = obs.get("joined").asInstanceOf[Long]
+        val known = flat.filter(col("decided") =!= 0)
+        val unknown = flat.filter(col("decided") === 0)
+        val nbrSide =
+          if (nJoin == 0) nbrSets.filter(lit(false))
+          else if (nJoin < LightModeThreshold)
+            broadcast(pruneAdjToFrontier(nbrSets, unknown, "pv", "prevV"))
+          else nbrSets
+        val resolved = unknown
+          .join(nbrSide, unknown("prevV") === nbrSide("pv"), "left")
+          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+            col("trial"), col("cand"), col("candW"),
+            resolve(col("step"), col("prevV"), col("prevNbrs"), col("cand"),
+              col("candW"), col("u")).as("decided"),
+            col("u"))
+        val all = known.unionAll(resolved)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        roundCaches += all
+        // escalated walkers: one exact-distribution draw at the position
+        // (rare by construction — requires maxTrials straight rejections)
+        val exact = escal
+          .join(adjSide, escal("curV") === adjSide("v"))
+          .join(nbrSets, escal("prevV") === nbrSets("pv"), "left")
+          .select(col("walkerId"), (col("step") + 1).as("step"),
+            dyn(col("step"), col("prevV"), col("prevNbrs"), col("nbrs"),
+              col("wts"), col("statics"), randT("exact")).as("curV"),
+            escal("curV").as("prevV"), lit(0).as("trial"))
+          .filter(col("curV").isNotNull)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        roundCaches += exact
+        val accepted = all.filter(col("decided") >= 1).select(
+            col("walkerId"), (col("step") + 1).as("step"),
+            col("cand").as("curV"), col("curV").as("prevV"),
+            lit(0).as("trial"))
+          .unionAll(exact)
+        history += accepted.select(col("walkerId"), col("step"),
+          col("curV").as("vertex"))
+        val rejected = all.filter(col("decided") === -1).select(
+          col("walkerId"), col("step"), col("curV"), col("prevV"),
+          (col("trial") + 1).as("trial"))
+        val (f2, n) = truncateRealCounted(
+          accepted.filter(col("step") < lit(maxSteps)).unionAll(rejected))
+        frontier = f2
+        active = n
+        val nPre = obs.get("preaccept").asInstanceOf[Long]
+        logReject((nPre, 0L, nJoin))
+        System.err.println(s"[graft:$runName] iter=$iter active=$active " +
+          s"preaccept=$nPre joined=$nJoin")
+      }
+      sealChained(history.toSeq, roundCaches.toSeq)
+    } catch {
+      case e: Throwable =>
+        roundCaches.foreach(_.unpersist(false))
+        throw e
+    }
+  }
+
   /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:
     * 70-128 + metascheme.hpp): edges carry an `etype` column; walker w
     * follows scheme (w mod schemes.size), and at step s may only take

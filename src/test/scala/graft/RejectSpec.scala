@@ -16,12 +16,17 @@ class RejectSpec extends SparkSpec {
 
   /** Empirical P(v2 | v0→v1) over many walkers vs the analytic node2vec
     * law (same harness as WalkSpec's exact-engine matrix test). */
-  private def freqCheck(p: Double, q: Double, seed: Long): Unit = {
+  private def freqCheck(p: Double, q: Double, seed: Long,
+      engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = null): Unit = {
     val edges = collectEdges(smallGraph)
     val adjm =
       edges.groupBy(_._1).view.mapValues(_.map(e => e._2 -> e._3).toMap).toMap
-    val fp = Walk.node2vecReject(smallGraph, Walk.equalStarts(smallGraph, 60000),
-      maxSteps = 2, p = p, q = q, seed = seed)
+    val starts = Walk.equalStarts(smallGraph, 60000)
+    val fp =
+      if (engine != null) engine(starts)
+      else Walk.node2vecReject(smallGraph, starts,
+        maxSteps = 2, p = p, q = q, seed = seed)
     val paths =
       Walk.paths(fp).collect().map(r => r.getSeq[Long](1)).filter(_.size == 3)
     val byEdge = paths.groupBy(pp => (pp(0), pp(1)))
@@ -104,6 +109,58 @@ class RejectSpec extends SparkSpec {
     assert(byWalker(1L) == 1, "walker from 0 takes one step then dies")
     val ends = fp.filter(r => r._2 == byWalker(r._1)).map(_._3).toSet
     assert(ends.subsetOf(Set(1L, 3L)))
+  }
+
+  /** node2vec's Pd as a user hook for the GENERIC rejection surface. */
+  private def n2vHook(p: Double, q: Double) =
+    Walk.SecondOrderConfig(dynamic2 = (_, prevV, prevNbrs, dst, _) =>
+      if (dst == prevV) 1.0 / p
+      else if (prevNbrs != null &&
+        java.util.Arrays.binarySearch(prevNbrs.toArray, dst) >= 0) 1.0
+      else 1.0 / q)
+
+  test("generic2Reject (user Pd + declared bounds) matches the node2vec law; lb pre-accepts") {
+    val p = 2.0; val q = 0.5
+    // Pd values are {1/p, 1, 1/q} = {0.5, 1, 2}: tight user bounds
+    Walk.rejectLog.clear()
+    freqCheck(p, q, seed = 41, engine = starts =>
+      Walk.generic2Reject(smallGraph, starts, maxSteps = 2, n2vHook(p, q),
+        upper = 2.0, lower = 0.5, seed = 41))
+    val its = Walk.rejectLog.iterator()
+    var pre = 0L; var joined = 0L
+    while (its.hasNext) { val e = its.next(); pre += e._1; joined += e._3 }
+    assert(pre > 0, "lower bound never pre-accepted")
+    assert(joined > 0, "no proposal ever needed the membership join")
+  }
+
+  test("generic2Reject: zero-dynamic-mass positions die via the bounded exact fallback") {
+    // 0 ⇄ 1 two-cycle; Pd(return edge) = 0 ⇒ at step ≥ 1 every candidate
+    // has zero mass: pure rejection would spin forever, the engine must
+    // fall back to one exact draw after maxTrials and kill the walker
+    // (generic2's zero-total death)
+    val cyc = Seq((0L, 1L, 1.0), (1L, 0L, 1.0)).toDF("src", "dst", "weight")
+    val starts = Seq((0L, 0L), (1L, 1L)).toDF("walkerId", "curV")
+    val cfg = Walk.SecondOrderConfig(dynamic2 = (_, prevV, _, dst, _) =>
+      if (dst == prevV) 0.0 else 1.0)
+    val fp = Walk.generic2Reject(cyc, starts, maxSteps = 10, cfg,
+      upper = 1.0, lower = 0.0, maxTrials = 3, seed = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // both walkers take exactly one step (the first-order start draw has
+    // no Pd) and then die at the reversal
+    assert(fp.map(_._2).max == 1)
+    assert(fp.length == 4, s"expected 2 walkers × 2 footprints, got ${fp.length}")
+  }
+
+  test("generic2Reject fails loudly when the user Pd violates its declared bounds") {
+    val cfg = Walk.SecondOrderConfig(dynamic2 = (_, _, _, _, _) => 2.0)
+    val starts = Walk.equalStarts(smallGraph, 50)
+    val e = intercept[Exception] {
+      Walk.generic2Reject(smallGraph, starts, maxSteps = 3, cfg,
+        upper = 1.0, lower = 0.0, seed = 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
   }
 
   test("p=q=1 collapses to the first-order law (every dart pre-accepts at lb = ub)") {
