@@ -2353,6 +2353,153 @@ object Walk {
     }
   }
 
+  /** First-order rejection sampler: the reference's LOCAL rejection loop
+    * (include/walk.hpp:1030-1040) inside one row — propose a candidate
+    * from the static distribution, pre-accept darts ≤ lb without
+    * evaluating Pd (:1033), otherwise evaluate the user Pd ONCE for the
+    * candidate and accept iff the dart clears it; retry with fresh
+    * (walker, step, trial)-keyed randomness. Unlike the second-order
+    * case there is no remote state, so the whole retry loop stays in the
+    * UDF — no extra engine iterations, no join: the win over the exact
+    * [[dynSampleUdf]] is O(trials) Pd evaluations per step instead of
+    * O(degree) (the paper's Table 5a "−25 % edges computed" is exactly
+    * this at lb > 0). `maxTrials` straight rejections fall back to one
+    * exact inverse-CDF draw over the full biased distribution —
+    * distribution-neutral (independent trials; both samplers draw the
+    * identical accept-conditional law), it bounds the loop and gives
+    * zero-dynamic-mass positions the exact engine's death.
+    *
+    * Returns (dst, pdEvals, preAccepted) for the observe() counters. */
+  private def rejectSampleUdf(
+      f: (Int, Long, Long, Double) => Double,
+      upper: Double, lower: Double, maxTrials: Int) =
+    udf { (seed: Long, walkerId: Long, step: Int, curV: Long,
+           nbrs: Seq[Long], wts: Seq[Double], statics: Seq[Double]) =>
+      val n = nbrs.size
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += statics(i); i += 1 }
+      if (n == 0 || total <= 0.0) None
+      else {
+        // (step, trial) → distinct jvmRand stream keys; maxSteps and
+        // maxTrials are both far below 2^20
+        def r(trial: Int, salt: Long): Double =
+          jvmRand(seed, walkerId, (step.toLong << 20) | trial.toLong, salt)
+        var trial = 0
+        var evals = 0L
+        var pre = 0L
+        var dst = -1L
+        while (dst < 0 && trial < maxTrials) {
+          val dart = r(trial, 0xA1L) * total
+          var cum = 0.0
+          var j = 0
+          while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
+          val u = r(trial, 0xA2L) * upper
+          if (u <= lower) { pre = 1L; dst = nbrs(j) }
+          else {
+            val pd = f(step, curV, nbrs(j), wts(j))
+            require(pd <= upper && pd >= lower,
+              s"user Pd $pd outside declared bounds [$lower, $upper] " +
+                s"(step=$step curV=$curV cand=${nbrs(j)})")
+            evals += 1L
+            if (u <= pd) dst = nbrs(j)
+          }
+          trial += 1
+        }
+        if (dst >= 0) Some((dst, evals, pre))
+        else {
+          // exact fallback: one inverse-CDF draw over Ps·Pd
+          val bw = new Array[Double](n)
+          var bt = 0.0
+          var k = 0
+          while (k < n) {
+            bw(k) = statics(k) * f(step, curV, nbrs(k), wts(k))
+            bt += bw(k)
+            k += 1
+          }
+          evals += n.toLong
+          if (bt <= 0.0) None
+          else {
+            val dart2 = r(maxTrials, 0xA3L) * bt
+            var cum = 0.0
+            var j = 0
+            while (j < n - 1 && { cum += bw(j); cum <= dart2 }) j += 1
+            Some((nbrs(j), evals, 0L))
+          }
+        }
+      }
+    }
+
+  /** First-order walk under a user [[TransitionConfig]] sampled by
+    * REJECTION with user-declared dynamic bounds — the first-order half
+    * of the reference's `dcomp_upperbound_func`/`dcomp_lowerbound_func`
+    * surface (include/walk.hpp:241-271, loop :1030-1040; [[generic2Reject]]
+    * is the second-order half). Same law as [[generic]] with the same
+    * config — rejection trades Pd evaluations for retries; RejectSpec
+    * pins the frequency law and the evaluation-count ordering.
+    *
+    * @param upper must dominate every Pd value the hook can return
+    * @param lower must not exceed any Pd value (0 disables pre-accept) */
+  def genericReject(
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      config: TransitionConfig,
+      upper: Double,
+      lower: Double = 0.0,
+      maxTrials: Int = 64,
+      seed: Long = 42L,
+      runName: String = "gwalkrej"): DataFrame = {
+    require(config.dynamic.nonEmpty,
+      "genericReject needs a dynamic component — use generic/firstOrder for static-only walks")
+    require(upper > 0 && lower >= 0 && lower <= upper,
+      s"need 0 <= lower <= upper and upper > 0 (got lower=$lower upper=$upper)")
+    require(maxTrials >= 1, s"maxTrials must be >= 1 (got $maxTrials)")
+    val adj = GraphOps.adjacencyCached(edges)
+      .withColumn("statics", config.static match {
+        case StaticComp.EdgeWeight => col("wts")
+        case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
+      })
+    val sampler = rejectSampleUdf(config.dynamic.get, upper, lower, maxTrials)
+
+    val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier: DataFrame = truncateReal(
+      starts.select(col("walkerId"), lit(0).as("step"), col("curV")))
+    history += frontier.select(col("walkerId"), col("step"),
+      col("curV").as("vertex"))
+    var active = frontier.count()
+    var step = 0
+    while (active > 0 && step < maxSteps) {
+      val alive = applyExtension(frontier, config.extension, seed, portable = false)
+      val light = active < LightModeThreshold
+      val aliveL = if (light) lightFrontier(alive) else alive
+      val side = if (light) broadcast(aliveL) else aliveL
+      val adjSide = if (light) pruneAdjToFrontier(adj, aliveL, "v", "curV") else adj
+      val obs = org.apache.spark.sql.Observation()
+      val stepped = side.join(adjSide, side("curV") === adjSide("v"))
+        .select(col("walkerId"), (col("step") + 1).as("step"),
+          sampler(lit(seed), col("walkerId"), col("step"), col("curV"),
+            col("nbrs"), col("wts"), col("statics")).as("prop"))
+        .filter(col("prop").isNotNull)
+        .select(col("walkerId"), col("step"), col("prop._1").as("curV"),
+          col("prop._2").as("evals"), col("prop._3").as("pre"))
+        .observe(obs, sum(col("evals")).as("evals"), sum(col("pre")).as("pre"))
+      val (f2, n) = truncateRealCounted(
+        stepped.select(col("walkerId"), col("step"), col("curV")))
+      frontier = f2
+      history += frontier.select(col("walkerId"), col("step"),
+        col("curV").as("vertex"))
+      step += 1
+      active = n
+      val nPre = Option(obs.get("pre")).collect { case l: Long => l }.getOrElse(0L)
+      val nEv = Option(obs.get("evals")).collect { case l: Long => l }.getOrElse(0L)
+      logReject((nPre, 0L, nEv))
+      System.err.println(s"[graft:$runName] step=$step active=$active " +
+        s"preaccept=$nPre pdEvals=$nEv")
+    }
+    history.reduce(_ unionAll _)
+  }
+
   /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:
     * 70-128 + metascheme.hpp): edges carry an `etype` column; walker w
     * follows scheme (w mod schemes.size), and at step s may only take

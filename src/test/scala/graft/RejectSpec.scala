@@ -163,6 +163,84 @@ class RejectSpec extends SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
   }
 
+  test("genericReject (first-order user Pd + bounds) matches the exact dynamic law") {
+    // Pd ∈ {0.5, 2.0} by dst parity — tight user bounds [0.5, 2.0]
+    val pd: (Int, Long, Long, Double) => Double =
+      (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
+    val cfg = Walk.TransitionConfig(dynamic = Some(pd))
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 60000)
+    val fp = Walk.genericReject(smallGraph, starts, maxSteps = 1, cfg,
+      upper = 2.0, lower = 0.5, seed = 23)
+    val edges = collectEdges(smallGraph)
+    val adjm =
+      edges.groupBy(_._1).view.mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    val hops = Walk.paths(fp).collect().map(r => r.getSeq[Long](1))
+      .filter(_.size == 2).groupBy(_.head)
+    var sqErr = 0.0; var cases = 0
+    for ((v0, ps) <- hops if ps.length >= 300) {
+      val biased = adjm(v0).map { case (c, w) => c -> w * pd(0, v0, c, w) }
+      val tot = biased.values.sum
+      val counts = ps.groupBy(_(1)).view.mapValues(_.length).toMap
+      assert(counts.keySet.subsetOf(adjm(v0).keySet))
+      for ((c, bw) <- biased) {
+        val gotP = counts.getOrElse(c, 0).toDouble / ps.length
+        sqErr += math.pow(gotP - bw / tot, 2); cases += 1
+      }
+    }
+    assert(cases > 50, s"only $cases cases with enough samples")
+    assert(sqErr / cases < 0.001, s"mean sqErr ${sqErr / cases}")
+    // T4 first-order: lb pre-accepts fired AND Pd was evaluated O(trials),
+    // not O(degree): evals strictly below the exact engine's per-candidate
+    // count (every alive walker × its out-degree)
+    val its = Walk.rejectLog.iterator()
+    var pre = 0L; var evals = 0L
+    while (its.hasNext) { val e = its.next(); pre += e._1; evals += e._3 }
+    val exactEvals = hops.valuesIterator.map(ps =>
+      ps.length.toLong * adjm(ps.head.head).size).sum
+    assert(pre > 0, "lower bound never pre-accepted")
+    assert(evals > 0, "Pd never evaluated despite lb < ub")
+    assert(evals < exactEvals,
+      s"rejection evaluated Pd $evals times ≥ exact's $exactEvals")
+  }
+
+  test("genericReject: lb = ub = const evaluates ZERO Pd and is deterministic") {
+    val cfg = Walk.TransitionConfig(dynamic = Some((_, _, _, _) => 1.0))
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 400)
+    val run1 = Walk.genericReject(smallGraph, starts, maxSteps = 4, cfg,
+      upper = 1.0, lower = 1.0, seed = 17).collect().map(_.toString).sorted
+    var evals = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) evals += its.next()._3
+    assert(evals == 0, s"$evals Pd evaluations with lb = ub")
+    val run2 = Walk.genericReject(smallGraph, starts, maxSteps = 4, cfg,
+      upper = 1.0, lower = 1.0, seed = 17).collect().map(_.toString).sorted
+    assert(run1.sameElements(run2))
+  }
+
+  test("genericReject: zero-dynamic-mass positions die via the bounded exact fallback") {
+    val cfg = Walk.TransitionConfig(dynamic = Some((_, _, _, _) => 0.0))
+    val starts = Walk.equalStarts(smallGraph, 20)
+    val fp = Walk.genericReject(smallGraph, starts, maxSteps = 5, cfg,
+      upper = 1.0, lower = 0.0, maxTrials = 3, seed = 29)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(fp.forall(_._2 == 0), "a walker advanced through zero total mass")
+    assert(fp.length == 20)
+  }
+
+  test("genericReject fails loudly when the user Pd violates its declared bounds") {
+    val cfg = Walk.TransitionConfig(dynamic = Some((_, _, _, _) => 3.0))
+    val starts = Walk.equalStarts(smallGraph, 50)
+    val e = intercept[Exception] {
+      Walk.genericReject(smallGraph, starts, maxSteps = 3, cfg,
+        upper = 1.0, lower = 0.0, seed = 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
+  }
+
   test("p=q=1 collapses to the first-order law (every dart pre-accepts at lb = ub)") {
     Walk.rejectLog.clear()
     // sink-free graph (ring ∪ random chords): every walker must survive
