@@ -142,6 +142,26 @@ object SparkEntry {
         .orderBy("walkerId")
     }),
 
+    // the FIRST-order rejection engine under a user Pd with declared
+    // bounds (T3/T4 at first order — the reference's local retry loop,
+    // walk.hpp:1030-1040): Pd ∈ {0.5, 2.0} by destination parity, bounds
+    // [0.5, 2.0] — every constant dyadic, every trial md5-keyed, so the
+    // DuckDB replay is trial-for-trial exact, INCLUDING the exact-draw
+    // fallback after maxTrials=8 straight rejections (odd-only
+    // neighbourhoods reject at 0.75/trial, so ~10% of those reach it)
+    "q_reject_generic" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      val pd: (Int, Long, Long, Double) => Double =
+        (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
+      Walk.pathStrings(
+          Walk.genericReject(edges, starts, maxSteps = 6,
+            Walk.TransitionConfig(dynamic = Some(pd)),
+            upper = 2.0, lower = 0.5, maxTrials = 8, seed = 42,
+            portableRng = true))
+        .orderBy("walkerId")
+    }),
+
     "q_node2vec" -> ((s, dir) => {
       val edges = eventEdges(s, dir)
       val starts = Walk.equalStarts(edges, 2000)
@@ -507,6 +527,46 @@ SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_st
 FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
   }
 
+  /** First-order rejection replay (q_reject_generic): each recursive step
+    * is ONE trial of Walk.genericReject's in-row retry loop — proposal
+    * from the static inverse-CDF on the 'ra' stream, accept draw u over
+    * [0, ub) on 'ru'; u ≤ lb pre-accepts, otherwise the user Pd (dst
+    * parity → {0.5, 2.0}) decides, and since lb = min Pd here the whole
+    * decision is u ≤ Pd(cand); a row reaching trial = maxTrials takes
+    * the one exact draw over Ps·Pd on 'rx'. Accepted rows advance with
+    * trial reset to 0 — the path keeps only trial = 0 rows. Constants
+    * dyadic, weights integer ⇒ bitwise-equal comparisons across engines. */
+  private def rejectGenericSql: String = {
+    val pdCase = "CASE WHEN cand % 2 = 0 THEN 2.0 ELSE 0.5 END"
+    val bw = "list_transform(range(1, len(a.nbrs) + 1), i -> a.wts[i] * " +
+      "(CASE WHEN a.nbrs[i] % 2 = 0 THEN 2.0 ELSE 0.5 END))"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV, trial) AS (
+  SELECT walkerId, 0, curV, 0 FROM starts
+  UNION ALL
+  SELECT walkerId,
+         CASE WHEN decided THEN step + 1 ELSE step END,
+         CASE WHEN decided THEN cand ELSE curV END,
+         CASE WHEN decided THEN 0 ELSE trial + 1 END
+  FROM (
+    SELECT q1.*,
+      (trial >= 8 OR u <= ($pdCase)) AS decided
+    FROM (
+      SELECT w.walkerId, w.step, w.curV, w.trial,
+        CASE WHEN w.trial >= 8
+             THEN ${pickSql("a.nbrs", bw, randTSql("w.walkerId", "w.step", "w.trial", "rx"))}
+             ELSE ${pickSql("a.nbrs", "a.wts", randTSql("w.walkerId", "w.step", "w.trial", "ra"))} END AS cand,
+        ${randTSql("w.walkerId", "w.step", "w.trial", "ru")} * 2.0 AS u
+      FROM walk w JOIN adj a ON w.curV = a.v
+      WHERE w.step < 6
+    ) q1
+  ) WHERE cand IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
+  }
+
   /** Metapath replay: walker w follows scheme (w mod 2); scheme 0's masks
     * reduce to "etype = step mod 2", scheme 1's to "etype = 2" (see the
     * q_metapath scheme literals); sampling is the capped inverse-CDF over
@@ -830,6 +890,8 @@ ORDER BY asset_id, frame_idx""",
     "q_node2vec" -> node2vecSql,
 
     "q_node2vec_reject" -> node2vecRejectSql,
+
+    "q_reject_generic" -> rejectGenericSql,
 
     "q_metapath" -> metapathSql,
   ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))

@@ -2353,6 +2353,13 @@ object Walk {
     }
   }
 
+  /** Salt tables for [[rejectSampleUdf]]'s three draw streams (proposal
+    * dart, accept draw, exact fallback) — numeric for the jvm splitmix
+    * streams, strings for the md5 portable streams (the DuckDB oracle
+    * interpolates the same literals). */
+  private val RejectSaltsJ = Array(0xA1L, 0xA2L, 0xA3L)
+  private val RejectSaltsP = Array("ra", "ru", "rx")
+
   /** First-order rejection sampler: the reference's LOCAL rejection loop
     * (include/walk.hpp:1030-1040) inside one row — propose a candidate
     * from the static distribution, pre-accept darts ≤ lb without
@@ -2372,7 +2379,7 @@ object Walk {
     * Returns (dst, pdEvals, preAccepted) for the observe() counters. */
   private def rejectSampleUdf(
       f: (Int, Long, Long, Double) => Double,
-      upper: Double, lower: Double, maxTrials: Int) =
+      upper: Double, lower: Double, maxTrials: Int, portable: Boolean) =
     udf { (seed: Long, walkerId: Long, step: Int, curV: Long,
            nbrs: Seq[Long], wts: Seq[Double], statics: Seq[Double]) =>
       val n = nbrs.size
@@ -2381,20 +2388,28 @@ object Walk {
       while (i < n) { total += statics(i); i += 1 }
       if (n == 0 || total <= 0.0) None
       else {
-        // (step, trial) → distinct jvmRand stream keys; maxSteps and
-        // maxTrials are both far below 2^20
-        def r(trial: Int, salt: Long): Double =
-          jvmRand(seed, walkerId, (step.toLong << 20) | trial.toLong, salt)
+        // (step, trial) → distinct rand stream keys per salt index
+        // (0 = proposal dart, 1 = accept draw, 2 = exact fallback).
+        // jvm mode packs (step, trial) — both far below 2^20; portable
+        // mode keys md5("seed:walker:step:trial:salt") like every other
+        // portable draw, so DuckDB replays the loop trial-for-trial.
+        def r(trial: Int, saltIdx: Int): Double =
+          if (portable)
+            graft.text.TextOps.h64jvm(
+              s"$seed:$walkerId:$step:$trial:${RejectSaltsP(saltIdx)}")
+              .toDouble / 1152921504606846976.0 // 2^60
+          else jvmRand(seed, walkerId,
+            (step.toLong << 20) | trial.toLong, RejectSaltsJ(saltIdx))
         var trial = 0
         var evals = 0L
         var pre = 0L
         var dst = -1L
         while (dst < 0 && trial < maxTrials) {
-          val dart = r(trial, 0xA1L) * total
+          val dart = r(trial, 0) * total
           var cum = 0.0
           var j = 0
           while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
-          val u = r(trial, 0xA2L) * upper
+          val u = r(trial, 1) * upper
           if (u <= lower) { pre = 1L; dst = nbrs(j) }
           else {
             val pd = f(step, curV, nbrs(j), wts(j))
@@ -2420,7 +2435,7 @@ object Walk {
           evals += n.toLong
           if (bt <= 0.0) None
           else {
-            val dart2 = r(maxTrials, 0xA3L) * bt
+            val dart2 = r(maxTrials, 2) * bt
             var cum = 0.0
             var j = 0
             while (j < n - 1 && { cum += bw(j); cum <= dart2 }) j += 1
@@ -2436,7 +2451,10 @@ object Walk {
     * surface (include/walk.hpp:241-271, loop :1030-1040; [[generic2Reject]]
     * is the second-order half). Same law as [[generic]] with the same
     * config — rejection trades Pd evaluations for retries; RejectSpec
-    * pins the frequency law and the evaluation-count ordering.
+    * pins the frequency law and the evaluation-count ordering. With
+    * `portableRng` every trial draw is md5-keyed, so an external engine
+    * can replay the loop trial-for-trial (q_reject_generic's DuckDB
+    * recursive CTE does, including the maxTrials fallback draw).
     *
     * @param upper must dominate every Pd value the hook can return
     * @param lower must not exceed any Pd value (0 disables pre-accept) */
@@ -2449,6 +2467,7 @@ object Walk {
       lower: Double = 0.0,
       maxTrials: Int = 64,
       seed: Long = 42L,
+      portableRng: Boolean = false,
       runName: String = "gwalkrej"): DataFrame = {
     require(config.dynamic.nonEmpty,
       "genericReject needs a dynamic component — use generic/firstOrder for static-only walks")
@@ -2460,7 +2479,8 @@ object Walk {
         case StaticComp.EdgeWeight => col("wts")
         case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
       })
-    val sampler = rejectSampleUdf(config.dynamic.get, upper, lower, maxTrials)
+    val sampler =
+      rejectSampleUdf(config.dynamic.get, upper, lower, maxTrials, portableRng)
 
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier: DataFrame = truncateReal(
@@ -2470,7 +2490,7 @@ object Walk {
     var active = frontier.count()
     var step = 0
     while (active > 0 && step < maxSteps) {
-      val alive = applyExtension(frontier, config.extension, seed, portable = false)
+      val alive = applyExtension(frontier, config.extension, seed, portableRng)
       val light = active < LightModeThreshold
       val aliveL = if (light) lightFrontier(alive) else alive
       val side = if (light) broadcast(aliveL) else aliveL

@@ -229,6 +229,24 @@ class RejectSpec extends SparkSpec {
     assert(fp.length == 20)
   }
 
+  test("genericReject portable mode: md5 streams are deterministic and both decision paths fire") {
+    val pd: (Int, Long, Long, Double) => Double =
+      (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
+    val cfg = Walk.TransitionConfig(dynamic = Some(pd))
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 300)
+    def run() = Walk.genericReject(smallGraph, starts, maxSteps = 4, cfg,
+      upper = 2.0, lower = 0.5, maxTrials = 8, seed = 42, portableRng = true)
+      .collect().map(_.toString).sorted
+    val r1 = run()
+    var pre = 0L; var evals = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) { val e = its.next(); pre += e._1; evals += e._3 }
+    assert(pre > 0, "portable lb stream never pre-accepted")
+    assert(evals > 0, "portable accept stream never reached a Pd evaluation")
+    assert(r1.sameElements(run()), "portable md5 streams are not deterministic")
+  }
+
   test("genericReject fails loudly when the user Pd violates its declared bounds") {
     val cfg = Walk.TransitionConfig(dynamic = Some((_, _, _, _) => 3.0))
     val starts = Walk.equalStarts(smallGraph, 50)
