@@ -162,6 +162,42 @@ object SparkEntry {
         .orderBy("walkerId")
     }),
 
+    // the generic T5 surface: user outlier hooks let Pd overflow the
+    // declared upper bound on declared edges (dst % 16 == 0 → Pd 8.0
+    // against ub = 1.0); the appendix area draw, strip index, i-th
+    // outlier search, and adjusted-dart accept are all replayed
+    // draw-for-draw by the DuckDB oracle (weights integer, every
+    // constant dyadic, division + add in the identical IEEE op order)
+    "q_reject_outlier" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      val pd: (Int, Long, Long, Double) => Double =
+        (_, _, dst, _) => if (dst % 16 == 0) 8.0 else 1.0
+      val hooks = Walk.OutlierConfig(
+        bound = (_, _, nbrs, wts) => {
+          var ovf = 0.0; var num = 0; var i = 0
+          while (i < nbrs.size) {
+            if (nbrs(i) % 16 == 0) { num += 1; ovf = math.max(ovf, 7.0 * wts(i)) }
+            i += 1
+          }
+          (ovf, num)
+        },
+        search = (_, _, nbrs, _, k) => {
+          var seen = -1; var i = 0; var at = -1
+          while (i < nbrs.size && at < 0) {
+            if (nbrs(i) % 16 == 0) { seen += 1; if (seen == k) at = i }
+            i += 1
+          }
+          at
+        })
+      Walk.pathStrings(
+          Walk.genericReject(edges, starts, maxSteps = 6,
+            Walk.TransitionConfig(dynamic = Some(pd)),
+            upper = 1.0, lower = 0.5, maxTrials = 8, seed = 42,
+            portableRng = true, outliers = Some(hooks)))
+        .orderBy("walkerId")
+    }),
+
     "q_node2vec" -> ((s, dir) => {
       val edges = eventEdges(s, dir)
       val starts = Walk.equalStarts(edges, 2000)
@@ -567,6 +603,72 @@ SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_st
 FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
   }
 
+  /** Outlier-appendix rejection replay (q_reject_outlier): adjo extends
+    * the adjacency with the hook results — outlier positions (dst % 16 =
+    * 0), their count, and the declared overflow ovf = 7 · max outlier
+    * weight. Per trial: the 'ro' area draw over [0, ovf·num + ub·total)
+    * minus the regular area; positive ⇒ appendix — strip index floor
+    * (clamped, the reference's round-off guard), i-th outlier by position
+    * order, accept iff stripPos/Ps + ub ≤ Pd in the engine's exact op
+    * order; non-positive ⇒ regular 'ra'/'ru' trial (Pd ≥ ub here, so
+    * regular proposals always accept). trial = maxTrials takes the exact
+    * Ps·Pd fallback draw on 'rx'. All weights integer ⇒ area arithmetic
+    * exact; the one division is performed identically on both sides. */
+  private def rejectOutlierSql: String = {
+    val bw = "list_transform(range(1, len(nbrs) + 1), i -> wts[i] * " +
+      "(CASE WHEN nbrs[i] % 16 = 0 THEN 8.0 ELSE 1.0 END))"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", adjo AS MATERIALIZED (
+  SELECT v, nbrs, wts, opos, len(opos) AS num, list_sum(wts) AS total,
+         CASE WHEN len(opos) > 0
+              THEN 7 * list_max(list_transform(opos, i -> wts[i])) END AS ovf
+  FROM (SELECT v, nbrs, wts,
+               list_filter(range(1, len(nbrs) + 1), i -> nbrs[i] % 16 = 0) AS opos
+        FROM adj)
+), walk(walkerId, step, curV, trial) AS (
+  SELECT walkerId, 0, curV, 0 FROM starts
+  UNION ALL
+  SELECT walkerId,
+         CASE WHEN decided THEN step + 1 ELSE step END,
+         CASE WHEN decided THEN cand ELSE curV END,
+         CASE WHEN decided THEN 0 ELSE trial + 1 END
+  FROM (
+    SELECT q3.*,
+      CASE WHEN trial >= 8 THEN TRUE
+           WHEN epos IS NOT NULL
+             THEN ((rv - idx * ovf) / wts[epos] + 1.0) <= 8.0
+           ELSE u <= (CASE WHEN cand % 16 = 0 THEN 8.0 ELSE 1.0 END) END AS decided
+    FROM (
+      SELECT q2.*,
+        CASE WHEN trial >= 8 THEN ${pickSql("nbrs", bw, randTSql("q2.walkerId", "q2.step", "q2.trial", "rx"))}
+             WHEN epos IS NOT NULL THEN nbrs[epos]
+             ELSE ${pickSql("nbrs", "wts", randTSql("q2.walkerId", "q2.step", "q2.trial", "ra"))} END AS cand,
+        ${randTSql("q2.walkerId", "q2.step", "q2.trial", "ru")} * 1.0 AS u
+      FROM (
+        SELECT q1.*,
+          CASE WHEN rv > 0
+               THEN CAST(opos[CAST(LEAST(CAST(FLOOR(rv / ovf) AS BIGINT), num - 1) AS INTEGER) + 1] AS INTEGER) END AS epos,
+          CASE WHEN rv > 0
+               THEN LEAST(CAST(FLOOR(rv / ovf) AS BIGINT), num - 1) END AS idx
+        FROM (
+          SELECT w.walkerId, w.step, w.curV, w.trial,
+                 a.nbrs AS nbrs, a.wts AS wts, a.opos AS opos,
+                 a.num AS num, a.ovf AS ovf,
+                 CASE WHEN a.num > 0 AND w.trial < 8
+                      THEN ${randTSql("w.walkerId", "w.step", "w.trial", "ro")}
+                             * (a.ovf * a.num + 1.0 * a.total) - 1.0 * a.total END AS rv
+          FROM walk w JOIN adjo a ON w.curV = a.v
+          WHERE w.step < 6
+        ) q1
+      ) q2
+    ) q3
+  ) WHERE cand IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
+  }
+
   /** Metapath replay: walker w follows scheme (w mod 2); scheme 0's masks
     * reduce to "etype = step mod 2", scheme 1's to "etype = 2" (see the
     * q_metapath scheme literals); sampling is the capped inverse-CDF over
@@ -892,6 +994,8 @@ ORDER BY asset_id, frame_idx""",
     "q_node2vec_reject" -> node2vecRejectSql,
 
     "q_reject_generic" -> rejectGenericSql,
+
+    "q_reject_outlier" -> rejectOutlierSql,
 
     "q_metapath" -> metapathSql,
   ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))

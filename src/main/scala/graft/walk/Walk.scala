@@ -148,6 +148,30 @@ object Walk {
       static: StaticComp = StaticComp.EdgeWeight,
       dynamic: Option[(Int, Long, Long, Double) => Double] = None)
 
+  /** Generic outlier-override hooks — the reference's T5 surface
+    * (`outlier_upperbound_func` / `outlier_search_func`, include/
+    * walk.hpp:197-238; first-order dartboard :981-1014): the user Pd may
+    * exceed the declared `upper` on up to `num` declared "outlier" edges
+    * per position. The dartboard gains an appendix of `num` strips of
+    * width `overflow`; an appendix hit at strip i fetches outlier i via
+    * `search` and accepts iff stripPos/Ps(e) + upper ≤ Pd(e), which
+    * restores the exact Ps·Pd law for edges whose Pd overflows the
+    * regular bound.
+    *
+    * Contract (the reference asserts it only in UNIT_TEST builds; this
+    * engine enforces it loudly on every appendix evaluation): for every
+    * declared outlier e, (Pd(e) − upper) · Ps(e) ≤ overflow. Pd must NOT
+    * exceed `upper` on any edge the hooks do not declare — that silently
+    * skews the law, exactly as in the reference.
+    *
+    * @param bound  (step, curV, nbrs, wts) → (overflow, num); non-positive
+    *               either disables the appendix at this position
+    * @param search (step, curV, nbrs, wts, i) → index of the i-th outlier
+    *               in the adjacency arrays, or -1 for none */
+  final case class OutlierConfig(
+      bound: (Int, Long, Seq[Long], Seq[Double]) => (Double, Int),
+      search: (Int, Long, Seq[Long], Seq[Double], Int) => Int)
+
   /** Second-order bundle (reference SecondOrderTransitionConfig,
     * include/walk.hpp:273-363): Pd additionally sees the previous vertex
     * and its sorted neighbour list (the engine answers the reference's
@@ -2357,8 +2381,8 @@ object Walk {
     * dart, accept draw, exact fallback) — numeric for the jvm splitmix
     * streams, strings for the md5 portable streams (the DuckDB oracle
     * interpolates the same literals). */
-  private val RejectSaltsJ = Array(0xA1L, 0xA2L, 0xA3L)
-  private val RejectSaltsP = Array("ra", "ru", "rx")
+  private val RejectSaltsJ = Array(0xA1L, 0xA2L, 0xA3L, 0xA4L)
+  private val RejectSaltsP = Array("ra", "ru", "rx", "ro")
 
   /** First-order rejection sampler: the reference's LOCAL rejection loop
     * (include/walk.hpp:1030-1040) inside one row — propose a candidate
@@ -2376,10 +2400,12 @@ object Walk {
     * identical accept-conditional law), it bounds the loop and gives
     * zero-dynamic-mass positions the exact engine's death.
     *
-    * Returns (dst, pdEvals, preAccepted) for the observe() counters. */
+    * Returns (dst, pdEvals, preAccepted, appendixTrials) for the
+    * observe() counters. */
   private def rejectSampleUdf(
       f: (Int, Long, Long, Double) => Double,
-      upper: Double, lower: Double, maxTrials: Int, portable: Boolean) =
+      upper: Double, lower: Double, maxTrials: Int, portable: Boolean,
+      outliers: Option[OutlierConfig]) =
     udf { (seed: Long, walkerId: Long, step: Int, curV: Long,
            nbrs: Seq[Long], wts: Seq[Double], statics: Seq[Double]) =>
       val n = nbrs.size
@@ -2389,10 +2415,11 @@ object Walk {
       if (n == 0 || total <= 0.0) None
       else {
         // (step, trial) → distinct rand stream keys per salt index
-        // (0 = proposal dart, 1 = accept draw, 2 = exact fallback).
-        // jvm mode packs (step, trial) — both far below 2^20; portable
-        // mode keys md5("seed:walker:step:trial:salt") like every other
-        // portable draw, so DuckDB replays the loop trial-for-trial.
+        // (0 = proposal dart, 1 = accept draw, 2 = exact fallback,
+        // 3 = outlier area draw). jvm mode packs (step, trial) — both
+        // far below 2^20; portable mode keys
+        // md5("seed:walker:step:trial:salt") like every other portable
+        // draw, so DuckDB replays the loop trial-for-trial.
         def r(trial: Int, saltIdx: Int): Double =
           if (portable)
             graft.text.TextOps.h64jvm(
@@ -2403,25 +2430,58 @@ object Walk {
         var trial = 0
         var evals = 0L
         var pre = 0L
+        var app = 0L
         var dst = -1L
         while (dst < 0 && trial < maxTrials) {
-          val dart = r(trial, 0) * total
-          var cum = 0.0
-          var j = 0
-          while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
-          val u = r(trial, 1) * upper
-          if (u <= lower) { pre = 1L; dst = nbrs(j) }
-          else {
-            val pd = f(step, curV, nbrs(j), wts(j))
-            require(pd <= upper && pd >= lower,
-              s"user Pd $pd outside declared bounds [$lower, $upper] " +
-                s"(step=$step curV=$curV cand=${nbrs(j)})")
-            evals += 1L
-            if (u <= pd) dst = nbrs(j)
+          // T5 appendix (reference walk.hpp:981-1014): one area draw over
+          // [0, ovf·num + upper·total) decides appendix vs regular; an
+          // appendix hit consumes the trial whether it accepts or not.
+          var regular = true
+          if (outliers.nonEmpty) {
+            val (ovf, num) = outliers.get.bound(step, curV, nbrs, wts)
+            if (ovf > 0.0 && num > 0) {
+              val rv = r(trial, 3) * (ovf * num + upper * total) - upper * total
+              if (rv > 0.0) {
+                regular = false
+                app += 1L
+                var idx = (rv / ovf).toInt
+                if (idx >= num) idx = num - 1 // round-off guard (:993-997)
+                val e = outliers.get.search(step, curV, nbrs, wts, idx)
+                if (e >= 0 && statics(e) > 0.0) {
+                  val ps = statics(e)
+                  val pd = f(step, curV, nbrs(e), wts(e))
+                  evals += 1L
+                  require((pd - upper) * ps <= ovf + 1e-9,
+                    s"outlier overflow (Pd $pd − upper $upper)·Ps $ps exceeds " +
+                      s"declared bound $ovf (step=$step curV=$curV out=${nbrs(e)})")
+                  if ((rv - idx * ovf) / ps + upper <= pd) dst = nbrs(e)
+                }
+              }
+            }
+          }
+          if (regular) {
+            val dart = r(trial, 0) * total
+            var cum = 0.0
+            var j = 0
+            while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
+            val u = r(trial, 1) * upper
+            if (u <= lower) { pre = 1L; dst = nbrs(j) }
+            else {
+              val pd = f(step, curV, nbrs(j), wts(j))
+              // with outliers declared, a regular proposal may legally be
+              // an overflowing outlier edge (it then always accepts, the
+              // appendix supplying the excess mass) — only the lower
+              // bound stays checkable here
+              require(pd >= lower && (outliers.nonEmpty || pd <= upper),
+                s"user Pd $pd outside declared bounds [$lower, $upper] " +
+                  s"(step=$step curV=$curV cand=${nbrs(j)})")
+              evals += 1L
+              if (u <= pd) dst = nbrs(j)
+            }
           }
           trial += 1
         }
-        if (dst >= 0) Some((dst, evals, pre))
+        if (dst >= 0) Some((dst, evals, pre, app))
         else {
           // exact fallback: one inverse-CDF draw over Ps·Pd
           val bw = new Array[Double](n)
@@ -2439,7 +2499,7 @@ object Walk {
             var cum = 0.0
             var j = 0
             while (j < n - 1 && { cum += bw(j); cum <= dart2 }) j += 1
-            Some((nbrs(j), evals, 0L))
+            Some((nbrs(j), evals, 0L, app))
           }
         }
       }
@@ -2455,8 +2515,11 @@ object Walk {
     * `portableRng` every trial draw is md5-keyed, so an external engine
     * can replay the loop trial-for-trial (q_reject_generic's DuckDB
     * recursive CTE does, including the maxTrials fallback draw).
+    * `outliers` adds the reference's T5 appendix ([[OutlierConfig]]) for
+    * positions where Pd legitimately overflows `upper` on declared edges.
     *
-    * @param upper must dominate every Pd value the hook can return
+    * @param upper must dominate every Pd value the hook can return —
+    *              except on edges declared via `outliers`
     * @param lower must not exceed any Pd value (0 disables pre-accept) */
   def genericReject(
       edges: DataFrame,
@@ -2468,6 +2531,7 @@ object Walk {
       maxTrials: Int = 64,
       seed: Long = 42L,
       portableRng: Boolean = false,
+      outliers: Option[OutlierConfig] = None,
       runName: String = "gwalkrej"): DataFrame = {
     require(config.dynamic.nonEmpty,
       "genericReject needs a dynamic component — use generic/firstOrder for static-only walks")
@@ -2479,8 +2543,8 @@ object Walk {
         case StaticComp.EdgeWeight => col("wts")
         case StaticComp.Unbiased => transform(col("wts"), _ => lit(1.0))
       })
-    val sampler =
-      rejectSampleUdf(config.dynamic.get, upper, lower, maxTrials, portableRng)
+    val sampler = rejectSampleUdf(
+      config.dynamic.get, upper, lower, maxTrials, portableRng, outliers)
 
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier: DataFrame = truncateReal(
@@ -2502,8 +2566,10 @@ object Walk {
             col("nbrs"), col("wts"), col("statics")).as("prop"))
         .filter(col("prop").isNotNull)
         .select(col("walkerId"), col("step"), col("prop._1").as("curV"),
-          col("prop._2").as("evals"), col("prop._3").as("pre"))
-        .observe(obs, sum(col("evals")).as("evals"), sum(col("pre")).as("pre"))
+          col("prop._2").as("evals"), col("prop._3").as("pre"),
+          col("prop._4").as("app"))
+        .observe(obs, sum(col("evals")).as("evals"), sum(col("pre")).as("pre"),
+          sum(col("app")).as("app"))
       val (f2, n) = truncateRealCounted(
         stepped.select(col("walkerId"), col("step"), col("curV")))
       frontier = f2
@@ -2513,9 +2579,12 @@ object Walk {
       active = n
       val nPre = Option(obs.get("pre")).collect { case l: Long => l }.getOrElse(0L)
       val nEv = Option(obs.get("evals")).collect { case l: Long => l }.getOrElse(0L)
-      logReject((nPre, 0L, nEv))
+      val nApp = Option(obs.get("app")).collect { case l: Long => l }.getOrElse(0L)
+      // middle log slot: engine-specific counter (second-order engines:
+      // membership joins; this first-order engine: appendix trials)
+      logReject((nPre, nApp, nEv))
       System.err.println(s"[graft:$runName] step=$step active=$active " +
-        s"preaccept=$nPre pdEvals=$nEv")
+        s"preaccept=$nPre appendix=$nApp pdEvals=$nEv")
     }
     history.reduce(_ unionAll _)
   }

@@ -229,6 +229,77 @@ class RejectSpec extends SparkSpec {
     assert(fp.length == 20)
   }
 
+  /** Generic T5 hooks for the smallGraph outlier battery: Pd = 8.0 on
+    * dst % 16 == 0 (vertices 0 and 16), 1.0 elsewhere; with upper = 1.0
+    * the overflow mass (Pd − ub)·Ps = 7·w rides the appendix, so the
+    * bound hook declares ovf = 7 · max outlier weight at the position. */
+  private def outlierPd: (Int, Long, Long, Double) => Double =
+    (_, _, dst, _) => if (dst % 16 == 0) 8.0 else 1.0
+  private def outlierHooks(ovfScale: Double) = Walk.OutlierConfig(
+    bound = (_, _, nbrs, wts) => {
+      var ovf = 0.0; var num = 0; var i = 0
+      while (i < nbrs.size) {
+        if (nbrs(i) % 16 == 0) { num += 1; ovf = math.max(ovf, ovfScale * wts(i)) }
+        i += 1
+      }
+      (ovf, num)
+    },
+    search = (_, _, nbrs, _, k) => {
+      var seen = -1; var i = 0; var at = -1
+      while (i < nbrs.size && at < 0) {
+        if (nbrs(i) % 16 == 0) { seen += 1; if (seen == k) at = i }
+        i += 1
+      }
+      at
+    })
+
+  test("genericReject outlier appendix (generic T5): Pd overflowing `upper` on declared edges keeps the exact Ps·Pd law") {
+    val cfg = Walk.TransitionConfig(dynamic = Some(outlierPd))
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 60000)
+    val fp = Walk.genericReject(smallGraph, starts, maxSteps = 1, cfg,
+      upper = 1.0, lower = 0.5, seed = 31, outliers = Some(outlierHooks(7.0)))
+    val edges = collectEdges(smallGraph)
+    val adjm =
+      edges.groupBy(_._1).view.mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    val hops = Walk.paths(fp).collect().map(r => r.getSeq[Long](1))
+      .filter(_.size == 2).groupBy(_.head)
+    var sqErr = 0.0; var cases = 0
+    for ((v0, ps) <- hops if ps.length >= 300) {
+      val biased = adjm(v0).map { case (c, w) => c -> w * outlierPd(0, v0, c, w) }
+      val tot = biased.values.sum
+      val counts = ps.groupBy(_(1)).view.mapValues(_.length).toMap
+      assert(counts.keySet.subsetOf(adjm(v0).keySet))
+      for ((c, bw) <- biased) {
+        val gotP = counts.getOrElse(c, 0).toDouble / ps.length
+        sqErr += math.pow(gotP - bw / tot, 2); cases += 1
+      }
+    }
+    assert(cases > 50, s"only $cases cases with enough samples")
+    assert(sqErr / cases < 0.001, s"mean sqErr ${sqErr / cases}")
+    // the appendix actually carried trials (log slot 2 = appendix count
+    // for the first-order engine)
+    var app = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) app += its.next()._2
+    assert(app > 0, "appendix never hit despite overflowing outliers")
+  }
+
+  test("genericReject outliers fail loudly when the declared overflow bound is too small") {
+    val cfg = Walk.TransitionConfig(dynamic = Some(outlierPd))
+    val starts = Walk.equalStarts(smallGraph, 20000)
+    val e = intercept[Exception] {
+      // ovfScale 3.5 < the needed 7.0: any appendix evaluation of the
+      // max-weight outlier violates (Pd − upper)·Ps <= ovf
+      Walk.genericReject(smallGraph, starts, maxSteps = 1, cfg,
+        upper = 1.0, lower = 0.5, seed = 37,
+        outliers = Some(outlierHooks(3.5))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("outlier overflow")))
+  }
+
   test("genericReject portable mode: md5 streams are deterministic and both decision paths fire") {
     val pd: (Int, Long, Long, Double) => Double =
       (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
