@@ -172,6 +172,22 @@ object Walk {
       bound: (Int, Long, Seq[Long], Seq[Double]) => (Double, Int),
       search: (Int, Long, Seq[Long], Seq[Double], Int) => Int)
 
+  /** Second-order twin of [[OutlierConfig]]: the reference's outlier
+    * hooks receive the walker state (include/walk.hpp:1184-1197), which
+    * at second order includes the previous vertex — so both hooks see
+    * `prevV`. That is exactly what lets node2vec's return-edge appendix
+    * (src/apps/node2vec.hpp:137-139) be expressed as USER hooks on
+    * [[generic2Reject]] (RejectSpec does, and gets the specialized
+    * engine's law back). Same overflow contract as [[OutlierConfig]].
+    *
+    * @param bound  (step, prevV, curV, nbrs, wts) → (overflow, num)
+    * @param search (step, prevV, curV, nbrs, wts, i) → adjacency index
+    *               of the i-th outlier, or -1 (a miss consumes the trial
+    *               as a rejection — declare num accurately) */
+  final case class OutlierConfig2(
+      bound: (Int, Long, Long, Seq[Long], Seq[Double]) => (Double, Int),
+      search: (Int, Long, Long, Seq[Long], Seq[Double], Int) => Int)
+
   /** Second-order bundle (reference SecondOrderTransitionConfig,
     * include/walk.hpp:273-363): Pd additionally sees the previous vertex
     * and its sorted neighbour list (the engine answers the reference's
@@ -2213,12 +2229,68 @@ object Walk {
       f: (Int, Long, Seq[Long], Long, Double) => Double,
       upper: Double, lower: Double) =
     udf { (step: Int, prevV: Long, prevNbrs: Seq[Long], cand: Long,
-           candW: Double, u: Double) =>
+           candW: Double, u: Double, cap: Double) =>
       val pd = f(step, prevV, prevNbrs, cand, candW)
-      require(pd <= upper && pd >= lower,
-        s"user Pd $pd outside declared bounds [$lower, $upper] " +
-          s"(step=$step prevV=$prevV cand=$cand)")
+      // cap encodes the row's regime: == upper → plain bounds (no
+      // outliers declared); +∞ → regular proposal in outlier mode (an
+      // overflowing Pd is legal there — the appendix supplies the excess
+      // mass); finite > upper → appendix row, enforce the overflow
+      // contract (Pd − ub)·Ps ≤ ovf, i.e. Pd ≤ cap = ub + ovf/Ps
+      if (cap == upper)
+        require(pd <= upper && pd >= lower,
+          s"user Pd $pd outside declared bounds [$lower, $upper] " +
+            s"(step=$step prevV=$prevV cand=$cand)")
+      else if (cap.isPosInfinity)
+        require(pd >= lower,
+          s"user Pd $pd below declared lower bound $lower " +
+            s"(step=$step prevV=$prevV cand=$cand)")
+      else
+        require(pd >= lower && pd <= cap + 1e-9,
+          s"outlier overflow: Pd $pd exceeds upper $upper plus the " +
+            s"declared overflow headroom (cap $cap, step=$step " +
+            s"prevV=$prevV cand=$cand)")
       if (u <= pd) 1 else -1
+    }
+
+  /** Second-order proposal with the generic outlier appendix (reference
+    * walk.hpp:1181-1208): one 'oarea' draw decides appendix vs regular.
+    * Appendix proposals carry the ADJUSTED dart stripPos/Ps + ub
+    * (:1202) and are ALWAYS undecided — the membership join evaluates
+    * the user Pd against it, restoring the exact Ps·Pd law for edges
+    * whose Pd overflows `upper`. A search miss consumes the trial as a
+    * rejection. Returns (cand, candW, dart, decided, cap, kind). */
+  private def propose2OutlierUdf(
+      oc: OutlierConfig2, upper: Double, lower: Double) =
+    udf { (step: Int, prevV: Long, curV: Long, nbrs: Seq[Long],
+           wts: Seq[Double], statics: Seq[Double],
+           rO: Double, rA: Double, rD: Double) =>
+      val n = nbrs.size
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += statics(i); i += 1 }
+      if (n == 0 || total <= 0.0) None
+      else {
+        val (ovf, num) = oc.bound(step, prevV, curV, nbrs, wts)
+        val rv = if (ovf > 0.0 && num > 0)
+          rO * (ovf * num + upper * total) - upper * total else -1.0
+        if (rv > 0.0) {
+          var idx = (rv / ovf).toInt
+          if (idx >= num) idx = num - 1 // round-off guard (:1193-1197)
+          val e = oc.search(step, prevV, curV, nbrs, wts, idx)
+          if (e >= 0 && statics(e) > 0.0)
+            Some((nbrs(e), wts(e), (rv - idx * ovf) / statics(e) + upper,
+              0, upper + ovf / statics(e), 1))
+          else Some((-1L, 0.0, 0.0, -1, upper, 1))
+        } else {
+          val dart = rA * total
+          var cum = 0.0
+          var j = 0
+          while (j < n - 1 && { cum += statics(j); cum <= dart }) j += 1
+          val u = rD * upper
+          val dec = if (u <= lower) 2 else 0
+          Some((nbrs(j), wts(j), u, dec, Double.PositiveInfinity, 0))
+        }
+      }
     }
 
   /** Second-order walk under a user [[SecondOrderConfig]] sampled by
@@ -2255,6 +2327,7 @@ object Walk {
       lower: Double = 0.0,
       maxTrials: Int = 64,
       seed: Long = 42L,
+      outliers: Option[OutlierConfig2] = None,
       runName: String = "gwalk2rej"): DataFrame = {
     require(upper > 0 && lower >= 0 && lower <= upper,
       s"need 0 <= lower <= upper and upper > 0 (got lower=$lower upper=$upper)")
@@ -2299,27 +2372,47 @@ object Walk {
         val escal = frontSide.filter(col("trial") >= maxTrials)
         val firstStep =
           inverseCdfSample(col("nbrs"), col("statics"), rand(seed, "s"))
-        val proposed = normal
-          .join(adjSide, normal("curV") === adjSide("v"))
-          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
-            col("trial"),
-            when(col("prevV").isNull,
-                struct(firstStep.as("_1"), lit(0.0).as("_2")))
-              .otherwise(staticProposeUdf(col("nbrs"), col("statics"),
-                col("wts"), randT("area"))).as("prop"),
-            (randT("dart") * lit(upper)).as("u"))
-          .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
-            col("trial"), col("prop._1").as("cand"),
-            col("prop._2").as("candW"),
-            when(col("prevV").isNull, lit(1))
-              .when(col("u") <= lit(lower), lit(2))
-              .otherwise(lit(0)).as("decided"),
-            col("u"))
-          .filter(col("cand").isNotNull)
+        val joined0 = normal.join(adjSide, normal("curV") === adjSide("v"))
+        val proposed = (outliers match {
+          case None => joined0
+            .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+              col("trial"),
+              when(col("prevV").isNull,
+                  struct(firstStep.as("_1"), lit(0.0).as("_2")))
+                .otherwise(staticProposeUdf(col("nbrs"), col("statics"),
+                  col("wts"), randT("area"))).as("prop"),
+              (randT("dart") * lit(upper)).as("u"))
+            .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
+              col("trial"), col("prop._1").as("cand"),
+              col("prop._2").as("candW"),
+              when(col("prevV").isNull, lit(1))
+                .when(col("u") <= lit(lower), lit(2))
+                .otherwise(lit(0)).as("decided"),
+              col("u"), lit(upper).as("cap"), lit(0).as("kind"))
+          case Some(oc) =>
+            val prop2 = propose2OutlierUdf(oc, upper, lower)
+            joined0
+              .select(col("walkerId"), col("step"), col("curV"),
+                col("prevV"), col("trial"),
+                when(col("prevV").isNull,
+                    struct(firstStep.as("_1"), lit(0.0).as("_2"),
+                      lit(0.0).as("_3"), lit(1).as("_4"),
+                      lit(upper).as("_5"), lit(0).as("_6")))
+                  .otherwise(prop2(col("step"), col("prevV"), col("curV"),
+                    col("nbrs"), col("wts"), col("statics"),
+                    randT("oarea"), randT("area"), randT("dart")))
+                  .as("prop"))
+              .select(col("walkerId"), col("step"), col("curV"),
+                col("prevV"), col("trial"), col("prop._1").as("cand"),
+                col("prop._2").as("candW"), col("prop._4").as("decided"),
+                col("prop._3").as("u"), col("prop._5").as("cap"),
+                col("prop._6").as("kind"))
+        }).filter(col("cand").isNotNull)
         val obs = org.apache.spark.sql.Observation()
         val (flat, _) = truncateRealCounted(proposed.observe(obs,
           count(when(col("decided") === 2, lit(1))).as("preaccept"),
-          count(when(col("decided") === 0, lit(1))).as("joined")))
+          count(when(col("decided") === 0, lit(1))).as("joined"),
+          count(when(col("kind") === 1, lit(1))).as("appendix")))
         val nJoin = obs.get("joined").asInstanceOf[Long]
         val known = flat.filter(col("decided") =!= 0)
         val unknown = flat.filter(col("decided") === 0)
@@ -2333,8 +2426,8 @@ object Walk {
           .select(col("walkerId"), col("step"), col("curV"), col("prevV"),
             col("trial"), col("cand"), col("candW"),
             resolve(col("step"), col("prevV"), col("prevNbrs"), col("cand"),
-              col("candW"), col("u")).as("decided"),
-            col("u"))
+              col("candW"), col("u"), col("cap")).as("decided"),
+            col("u"), col("cap"), col("kind"))
         val all = known.unionAll(resolved)
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
         roundCaches += all
@@ -2365,9 +2458,10 @@ object Walk {
         frontier = f2
         active = n
         val nPre = obs.get("preaccept").asInstanceOf[Long]
-        logReject((nPre, 0L, nJoin))
+        val nApp = obs.get("appendix").asInstanceOf[Long]
+        logReject((nPre, nApp, nJoin))
         System.err.println(s"[graft:$runName] iter=$iter active=$active " +
-          s"preaccept=$nPre joined=$nJoin")
+          s"preaccept=$nPre appendix=$nApp joined=$nJoin")
       }
       sealChained(history.toSeq, roundCaches.toSeq)
     } catch {

@@ -133,6 +133,54 @@ class RejectSpec extends SparkSpec {
     assert(joined > 0, "no proposal ever needed the membership join")
   }
 
+  test("generic2Reject outlier hooks re-derive node2vecReject's return-edge appendix law") {
+    // p=0.5, q=2 ⇒ Pd(return) = 1/p = 2 > ub = max(1, 1/q) = 1: the
+    // regime node2vecReject handles with its built-in appendix, here
+    // declared through the GENERIC OutlierConfig2 hooks — one outlier
+    // (the return edge, found via prevV), overflow (1/p − ub)·w_ret
+    val p = 0.5; val q = 2.0
+    val hooks = Walk.OutlierConfig2(
+      bound = (_, prevV, _, nbrs, wts) => {
+        val k = java.util.Arrays.binarySearch(nbrs.toArray, prevV)
+        if (k >= 0) ((1.0 / p - 1.0) * wts(k), 1) else (0.0, 0)
+      },
+      search = (_, prevV, _, nbrs, _, i) =>
+        if (i == 0) java.util.Arrays.binarySearch(nbrs.toArray, prevV) else -1)
+    Walk.rejectLog.clear()
+    freqCheck(p, q, seed = 43, engine = starts =>
+      Walk.generic2Reject(smallGraph, starts, maxSteps = 2, n2vHook(p, q),
+        upper = 1.0, lower = 0.5, seed = 43, outliers = Some(hooks)))
+    var pre = 0L; var app = 0L; var joined = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) {
+      val e = its.next(); pre += e._1; app += e._2; joined += e._3
+    }
+    assert(app > 0, "generic appendix never hit in the outlier regime")
+    assert(pre > 0, "lower bound never pre-accepted")
+    assert(joined > 0, "no proposal ever needed the membership join")
+  }
+
+  test("generic2Reject outliers fail loudly on an overflow-contract violation") {
+    // declare HALF the needed overflow for the return edge: the appendix
+    // resolution must reject the Pd that exceeds ub + ovf/Ps
+    val p = 0.5; val q = 2.0
+    val hooks = Walk.OutlierConfig2(
+      bound = (_, prevV, _, nbrs, wts) => {
+        val k = java.util.Arrays.binarySearch(nbrs.toArray, prevV)
+        if (k >= 0) (0.5 * (1.0 / p - 1.0) * wts(k), 1) else (0.0, 0)
+      },
+      search = (_, prevV, _, nbrs, _, i) =>
+        if (i == 0) java.util.Arrays.binarySearch(nbrs.toArray, prevV) else -1)
+    val starts = Walk.equalStarts(smallGraph, 20000)
+    val e = intercept[Exception] {
+      Walk.generic2Reject(smallGraph, starts, maxSteps = 3, n2vHook(p, q),
+        upper = 1.0, lower = 0.5, seed = 47, outliers = Some(hooks)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("outlier overflow")))
+  }
+
   test("generic2Reject: zero-dynamic-mass positions die via the bounded exact fallback") {
     // 0 ⇄ 1 two-cycle; Pd(return edge) = 0 ⇒ at step ≥ 1 every candidate
     // has zero mass: pure rejection would spin forever, the engine must
