@@ -162,6 +162,27 @@ object SparkEntry {
         .orderBy("walkerId")
     }),
 
+    // the SECOND-order generic rejection engine under a user Pd — the
+    // node2vec law (p=2, q=0.5: Pd ∈ {0.5, 1.0, 2.0}, all dyadic)
+    // declared as a SecondOrderConfig hook with tight bounds [0.5, 2.0];
+    // the DuckDB replay re-runs every trial: static proposal on 'area',
+    // dart on 'dart', membership resolution against prevV's neighbour
+    // list, and the exact Ps·Pd draw on 'exact' for walkers that reject
+    // maxTrials straight times
+    "q_reject2_generic" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      val cfg = Walk.SecondOrderConfig(dynamic2 = (_, prevV, prevNbrs, dst, _) =>
+        if (dst == prevV) 0.5
+        else if (prevNbrs != null &&
+          java.util.Arrays.binarySearch(prevNbrs.toArray, dst) >= 0) 1.0
+        else 2.0)
+      Walk.pathStrings(
+          Walk.generic2Reject(edges, starts, maxSteps = 6, cfg,
+            upper = 2.0, lower = 0.5, seed = 42, portableRng = true))
+        .orderBy("walkerId")
+    }),
+
     // the generic T5 surface: user outlier hooks let Pd overflow the
     // declared upper bound on declared edges (dst % 16 == 0 → Pd 8.0
     // against ub = 1.0); the appendix area draw, strip index, i-th
@@ -603,6 +624,53 @@ SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_st
 FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
   }
 
+  /** Second-order generic rejection replay (q_reject2_generic): the
+    * node2vec Pd as a user hook over Walk.generic2Reject. Each recursive
+    * row is one trial — first-step rows draw the static inverse-CDF on
+    * the (walker, step, 's') stream; later rows propose on the trial-
+    * keyed 'area' stream, throw the 'dart' over [0, ub), and resolve the
+    * user Pd against prevV's neighbour list (the engine's membership
+    * join ↔ list_contains); rejected rows re-enter with trial+1; a row
+    * reaching trial = maxTrials takes the exact Ps·Pd draw on 'exact'.
+    * Pre-acceptance (u ≤ lb) folds into u ≤ Pd because lb = min Pd. */
+  private def reject2GenericSql: String = {
+    val pd = "CASE WHEN cand = prevV THEN 0.5 " +
+      "WHEN COALESCE(list_contains(pnbrs, cand), FALSE) THEN 1.0 ELSE 2.0 END"
+    val bw = "list_transform(range(1, len(nbrs) + 1), i -> wts[i] * " +
+      "(CASE WHEN nbrs[i] = prevV THEN 0.5 " +
+      "WHEN COALESCE(list_contains(pnbrs, nbrs[i]), FALSE) THEN 1.0 ELSE 2.0 END))"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", walk(walkerId, step, curV, prevV, trial) AS (
+  SELECT walkerId, 0, curV, CAST(NULL AS BIGINT), 0 FROM starts
+  UNION ALL
+  SELECT walkerId,
+         CASE WHEN decided THEN step + 1 ELSE step END,
+         CASE WHEN decided THEN cand ELSE curV END,
+         CASE WHEN decided THEN curV ELSE prevV END,
+         CASE WHEN decided THEN 0 ELSE trial + 1 END
+  FROM (
+    SELECT q1.*,
+      (prevV IS NULL OR trial >= 64 OR u <= ($pd)) AS decided
+    FROM (
+      SELECT q0.*,
+        CASE WHEN prevV IS NULL THEN ${pickSql("nbrs", "wts", randSql("q0.walkerId", "q0.step", "s"))}
+             WHEN trial >= 64 THEN ${pickSql("nbrs", bw, randTSql("q0.walkerId", "q0.step", "q0.trial", "exact"))}
+             ELSE ${pickSql("nbrs", "wts", randTSql("q0.walkerId", "q0.step", "q0.trial", "area"))} END AS cand,
+        ${randTSql("q0.walkerId", "q0.step", "q0.trial", "dart")} * 2.0 AS u
+      FROM (
+        SELECT w.walkerId, w.step, w.curV, w.prevV, w.trial,
+               a.nbrs AS nbrs, a.wts AS wts, pa.nbrs AS pnbrs
+        FROM walk w JOIN adj a ON w.curV = a.v LEFT JOIN adj pa ON w.prevV = pa.v
+        WHERE w.step < 6
+      ) q0
+    ) q1
+  ) WHERE cand IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
+  }
+
   /** Outlier-appendix rejection replay (q_reject_outlier): adjo extends
     * the adjacency with the hook results — outlier positions (dst % 16 =
     * 0), their count, and the declared overflow ovf = 7 · max outlier
@@ -996,6 +1064,8 @@ ORDER BY asset_id, frame_idx""",
     "q_reject_generic" -> rejectGenericSql,
 
     "q_reject_outlier" -> rejectOutlierSql,
+
+    "q_reject2_generic" -> reject2GenericSql,
 
     "q_metapath" -> metapathSql,
   ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))

@@ -2327,6 +2327,7 @@ object Walk {
       lower: Double = 0.0,
       maxTrials: Int = 64,
       seed: Long = 42L,
+      portableRng: Boolean = false,
       outliers: Option[OutlierConfig2] = None,
       runName: String = "gwalk2rej"): DataFrame = {
     require(upper > 0 && lower >= 0 && lower <= upper,
@@ -2341,8 +2342,14 @@ object Walk {
     val dyn = dyn2SampleUdf(config.dynamic2)
     val resolve = resolveRejectUdf(config.dynamic2, upper, lower)
 
+    // per-(walker, step, TRIAL) draw; portable mode uses the md5 stream
+    // every oracle replays (same keying as node2vecReject's)
     def randT(salt: String): Column =
-      Synth.hashRand(lit(seed), col("walkerId"), col("step"),
+      if (portableRng)
+        graft.text.TextOps.h64(concat_ws(":", lit(seed), col("walkerId"),
+            col("step"), col("trial"), lit(salt)))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+      else Synth.hashRand(lit(seed), col("walkerId"), col("step"),
         col("trial"), lit(salt))
 
     var frontier: DataFrame = truncateReal(starts.select(
@@ -2371,7 +2378,8 @@ object Walk {
         val normal = frontSide.filter(col("trial") < maxTrials)
         val escal = frontSide.filter(col("trial") >= maxTrials)
         val firstStep =
-          inverseCdfSample(col("nbrs"), col("statics"), rand(seed, "s"))
+          inverseCdfSample(col("nbrs"), col("statics"),
+            randSel(portableRng, seed, "s"))
         val joined0 = normal.join(adjSide, normal("curV") === adjSide("v"))
         val proposed = (outliers match {
           case None => joined0
