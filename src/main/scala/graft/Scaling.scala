@@ -145,6 +145,29 @@ object Scaling {
         buckets = 32).count() - nWalkers
       ((), n)
     }
+    // rejection-sampling second-order engine (round 5 — the dartboard
+    // alternative to the exact-joins path; zero N→4N evidence before
+    // this phase). p=0.5 puts 1/p above ub = max(1, 1/q) so the
+    // return-edge outlier appendix is live: the phase exercises dart
+    // pre-accepts, the appendix, AND the partial membership join — the
+    // only shuffle that grows with prevV neighbourhoods; the engine's
+    // scale claim is that ≥ lb/ub of proposals skip it entirely.
+    // Own start set (nConvs/2 walkers, 6 steps — per-trial join rounds
+    // cost ~2× the per-step join engine): built just before the phase,
+    // so in a filtered single-phase run its build lands in this phase's
+    // delta (self-contained attribution, like the starts→deepwalk rule).
+    if (enabled("node2vec_reject")) {
+      val nRej = math.max(10000L, nConvs / 2)
+      val rejStarts = Walk.equalStarts(edges, nRej)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rejStarts.count()
+      phase("node2vec_reject", "steps") {
+        val n = Walk.node2vecReject(edges, rejStarts, maxSteps = 6,
+          p = 0.5, q = 2.0).count() - nRej
+        ((), n)
+      }
+      rejStarts.unpersist(false)
+    }
     if (anyWalk) starts.unpersist(false)
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense
