@@ -87,12 +87,13 @@ object Bench {
     }
     secs += "node2vec_chained" -> tN2vChain
     // NOTE: node2vec_reject is deliberately NOT a bench phase — its
-    // per-trial outer iterations are fixed-latency/codegen dominated at
-    // driver-bench scale (~10 s/iteration at ANY sf: 240 s at sf0.001 vs
-    // the exact engine's 2.7 s), which would swamp the per-round bench
-    // comparison with overhead, not work. Its scale evidence is the v5s
-    // campaign at 32.4M edges (BENCH/BASELINE.md), where real work
-    // dominates and the lb/ub join-traffic cut is measured directly.
+    // ~25 per-trial outer iterations are analysis/codegen/latency
+    // dominated at driver-bench scale (~40 s at sf0.001 even after the
+    // single-action-per-iteration restructure, vs the exact engine's
+    // 2.7 s), which would swamp the per-round bench comparison with
+    // overhead, not work. Its scale evidence is the v5s campaign at
+    // 32.4M edges (BENCH/BASELINE.md), where real work dominates and
+    // the lb/ub join-traffic cut is measured directly.
 
     // heterogeneous walk: edge types derived from the endpoint parity,
     // two schemes — exercises the typed-CSR chained kernel

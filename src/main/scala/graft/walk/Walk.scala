@@ -2120,6 +2120,7 @@ object Walk {
       var iter = 0
       while (active > 0) {
         iter += 1
+        val obs = org.apache.spark.sql.Observation()
         val light = active < LightModeThreshold
         val frontSide = if (light) broadcast(frontier) else frontier
         val adjSide =
@@ -2142,21 +2143,24 @@ object Walk {
             col("trial"), col("prop._1").as("cand"),
             col("prop._2").as("decided"), col("u"))
           .filter(col("cand").isNotNull)
-        // one materialization of the trial results: the observe metrics,
-        // the known/unknown split, and the light-mode prevV IN-set prune
-        // all read the SAME rows (no per-consumer recompute of the draw)
-        val obs = org.apache.spark.sql.Observation()
-        val (flat, _) = truncateRealCounted(proposed.observe(obs,
-          count(when(col("decided") === 2, lit(1))).as("preaccept"),
-          count(when(col("decided") === 3, lit(1))).as("appendix"),
-          count(when(col("decided") === 0, lit(1))).as("joined")))
-        val nJoin = obs.get("joined").asInstanceOf[Long]
-        val known = flat.filter(col("decided") =!= 0)
-        val unknown = flat.filter(col("decided") === 0)
+          .observe(obs,
+            count(when(col("decided") === 2, lit(1))).as("preaccept"),
+            count(when(col("decided") === 3, lit(1))).as("appendix"),
+            count(when(col("decided") === 0, lit(1))).as("joined"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        // ONE action per iteration (the frontier truncation below): it
+        // materializes `all`, whose cache build pulls `proposed` exactly
+        // once (block locks dedupe the known/unknown legs), so the
+        // observe fires once and nothing recomputes the draws. The
+        // pre-r5t shape truncated `proposed` separately — two extra jobs
+        // per iteration that dominated the wall at driver scale (240 s →
+        // the per-trial engine is latency-bound, not work-bound, below
+        // ~10M edges). Membership-join side gates on the KNOWN frontier
+        // size (joined rows ⊆ frontier rows — no pre-action count).
+        val known = proposed.filter(col("decided") =!= 0)
+        val unknown = proposed.filter(col("decided") === 0)
         val nbrSide =
-          if (nJoin == 0) nbrSets.filter(lit(false))
-          else if (nJoin < LightModeThreshold)
-            broadcast(pruneAdjToFrontier(nbrSets, unknown, "pv", "prevV"))
+          if (light) broadcast(pruneAdjToFrontier(nbrSets, frontier, "pv", "prevV"))
           else nbrSets
         val resolved = unknown
           .join(nbrSide, unknown("prevV") === nbrSide("pv"), "left")
@@ -2181,10 +2185,12 @@ object Walk {
           (col("trial") + 1).as("trial"))
         val (f2, n) = truncateRealCounted(
           accepted.filter(col("step") < lit(maxSteps)).unionAll(rejected))
+        proposed.unpersist(false)
         frontier = f2
         active = n
         val nPre = obs.get("preaccept").asInstanceOf[Long]
         val nApp = obs.get("appendix").asInstanceOf[Long]
+        val nJoin = obs.get("joined").asInstanceOf[Long]
         logReject((nPre, nApp, nJoin))
         System.err.println(s"[graft:$runName] iter=$iter active=$active " +
           s"preaccept=$nPre appendix=$nApp joined=$nJoin")
@@ -2363,13 +2369,15 @@ object Walk {
     try {
       var active = frontier.count()
       var iter = 0
+      var nEscal = 0L // walkers at maxTrials in the CURRENT frontier
       while (active > 0) {
         iter += 1
+        val obs = org.apache.spark.sql.Observation()
         // Pe keys on (walkerId, step): deterministic, so re-testing a
         // rejected walker at the same position repeats the same draw —
         // one extension decision per position, like generic2
         val aliveRaw = applyExtension(frontier, config.extension, seed,
-          portable = false)
+          portable = portableRng)
         val light = active < LightModeThreshold
         val aliveL = if (light) lightFrontier(aliveRaw) else aliveRaw
         val frontSide = if (light) broadcast(aliveL) else aliveL
@@ -2416,18 +2424,25 @@ object Walk {
                 col("prop._3").as("u"), col("prop._5").as("cap"),
                 col("prop._6").as("kind"))
         }).filter(col("cand").isNotNull)
-        val obs = org.apache.spark.sql.Observation()
-        val (flat, _) = truncateRealCounted(proposed.observe(obs,
-          count(when(col("decided") === 2, lit(1))).as("preaccept"),
-          count(when(col("decided") === 0, lit(1))).as("joined"),
-          count(when(col("kind") === 1, lit(1))).as("appendix")))
-        val nJoin = obs.get("joined").asInstanceOf[Long]
-        val known = flat.filter(col("decided") =!= 0)
-        val unknown = flat.filter(col("decided") === 0)
+          .observe(obs,
+            count(when(col("decided") === 2, lit(1))).as("preaccept"),
+            count(when(col("decided") === 0, lit(1))).as("joined"),
+            count(when(col("kind") === 1, lit(1))).as("appendix"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        // ONE action per iteration (the frontier truncation below): it
+        // materializes `all`, whose cache build materializes `proposed`
+        // exactly once (block locks dedupe the known/unknown legs), so
+        // the observe fires once and nothing recomputes the draws. The
+        // r5-original shape truncated `proposed` separately — 2 extra
+        // jobs per iteration that dominated the wall at driver scale.
+        val known = proposed.filter(col("decided") =!= 0)
+        val unknown = proposed.filter(col("decided") === 0)
+        // membership-join side gated on the KNOWN frontier size (joined
+        // rows ⊆ alive rows, so active < threshold implies the join side
+        // is light too — no pre-action count needed); pruning keys off
+        // the already-materialized frontier, not the lazy proposals
         val nbrSide =
-          if (nJoin == 0) nbrSets.filter(lit(false))
-          else if (nJoin < LightModeThreshold)
-            broadcast(pruneAdjToFrontier(nbrSets, unknown, "pv", "prevV"))
+          if (light) broadcast(pruneAdjToFrontier(nbrSets, aliveL, "pv", "prevV"))
           else nbrSets
         val resolved = unknown
           .join(nbrSide, unknown("prevV") === nbrSide("pv"), "left")
@@ -2439,37 +2454,47 @@ object Walk {
         val all = known.unionAll(resolved)
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
         roundCaches += all
-        // escalated walkers: one exact-distribution draw at the position
-        // (rare by construction — requires maxTrials straight rejections)
-        val exact = escal
-          .join(adjSide, escal("curV") === adjSide("v"))
-          .join(nbrSets, escal("prevV") === nbrSets("pv"), "left")
-          .select(col("walkerId"), (col("step") + 1).as("step"),
-            dyn(col("step"), col("prevV"), col("prevNbrs"), col("nbrs"),
-              col("wts"), col("statics"), randT("exact")).as("curV"),
-            escal("curV").as("prevV"), lit(0).as("trial"))
-          .filter(col("curV").isNotNull)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        roundCaches += exact
-        val accepted = all.filter(col("decided") >= 1).select(
-            col("walkerId"), (col("step") + 1).as("step"),
-            col("cand").as("curV"), col("curV").as("prevV"),
-            lit(0).as("trial"))
-          .unionAll(exact)
+        // escalated walkers: one exact-distribution draw at the position.
+        // Rare by construction (maxTrials straight rejections), so the
+        // two-join sub-plan is built ONLY when the previous frontier
+        // truncation counted a row at maxTrials (nEscal tracks it).
+        val accepted0 = all.filter(col("decided") >= 1).select(
+          col("walkerId"), (col("step") + 1).as("step"),
+          col("cand").as("curV"), col("curV").as("prevV"),
+          lit(0).as("trial"))
+        val accepted = if (nEscal == 0) accepted0 else {
+          val exact = escal
+            .join(adjSide, escal("curV") === adjSide("v"))
+            .join(nbrSets, escal("prevV") === nbrSets("pv"), "left")
+            .select(col("walkerId"), (col("step") + 1).as("step"),
+              dyn(col("step"), col("prevV"), col("prevNbrs"), col("nbrs"),
+                col("wts"), col("statics"), randT("exact")).as("curV"),
+              escal("curV").as("prevV"), lit(0).as("trial"))
+            .filter(col("curV").isNotNull)
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          roundCaches += exact
+          accepted0.unionAll(exact)
+        }
         history += accepted.select(col("walkerId"), col("step"),
           col("curV").as("vertex"))
         val rejected = all.filter(col("decided") === -1).select(
           col("walkerId"), col("step"), col("curV"), col("prevV"),
           (col("trial") + 1).as("trial"))
+        val obsF = org.apache.spark.sql.Observation()
         val (f2, n) = truncateRealCounted(
-          accepted.filter(col("step") < lit(maxSteps)).unionAll(rejected))
+          accepted.filter(col("step") < lit(maxSteps)).unionAll(rejected)
+            .observe(obsF,
+              count(when(col("trial") >= maxTrials, lit(1))).as("escal")))
+        proposed.unpersist(false)
         frontier = f2
         active = n
+        nEscal = obsF.get("escal").asInstanceOf[Long]
         val nPre = obs.get("preaccept").asInstanceOf[Long]
         val nApp = obs.get("appendix").asInstanceOf[Long]
+        val nJoin = obs.get("joined").asInstanceOf[Long]
         logReject((nPre, nApp, nJoin))
         System.err.println(s"[graft:$runName] iter=$iter active=$active " +
-          s"preaccept=$nPre appendix=$nApp joined=$nJoin")
+          s"preaccept=$nPre appendix=$nApp joined=$nJoin escalNext=$nEscal")
       }
       sealChained(history.toSeq, roundCaches.toSeq)
     } catch {
