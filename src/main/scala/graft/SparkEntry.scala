@@ -183,6 +183,44 @@ object SparkEntry {
         .orderBy("walkerId")
     }),
 
+    // the SECOND-order generic outlier surface (OutlierConfig2): Pd is
+    // genuinely second-order (membership term) AND overflows the bound
+    // (8.0 vs ub = 1.0) on declared dst % 16 == 0 edges — the appendix
+    // proposal carries its ADJUSTED dart into the membership join. The
+    // return-edge variant would be vacuous here (the transcript graph is
+    // nearly 2-cycle-free), so the declared outliers are the %16 set
+    "q_reject2_outlier" -> ((s, dir) => {
+      val edges = eventEdges(s, dir)
+      val starts = Walk.equalStarts(edges, 2000)
+      val cfg = Walk.SecondOrderConfig(dynamic2 = (_, _, prevNbrs, dst, _) =>
+        if (dst % 16 == 0) 8.0
+        else if (prevNbrs != null &&
+          java.util.Arrays.binarySearch(prevNbrs.toArray, dst) >= 0) 1.0
+        else 0.5)
+      val hooks = Walk.OutlierConfig2(
+        bound = (_, _, _, nbrs, wts) => {
+          var ovf = 0.0; var num = 0; var i = 0
+          while (i < nbrs.size) {
+            if (nbrs(i) % 16 == 0) { num += 1; ovf = math.max(ovf, 7.0 * wts(i)) }
+            i += 1
+          }
+          (ovf, num)
+        },
+        search = (_, _, _, nbrs, _, k) => {
+          var seen = -1; var i = 0; var at = -1
+          while (i < nbrs.size && at < 0) {
+            if (nbrs(i) % 16 == 0) { seen += 1; if (seen == k) at = i }
+            i += 1
+          }
+          at
+        })
+      Walk.pathStrings(
+          Walk.generic2Reject(edges, starts, maxSteps = 6, cfg,
+            upper = 1.0, lower = 0.5, seed = 42, portableRng = true,
+            outliers = Some(hooks)))
+        .orderBy("walkerId")
+    }),
+
     // the generic T5 surface: user outlier hooks let Pd overflow the
     // declared upper bound on declared edges (dst % 16 == 0 → Pd 8.0
     // against ub = 1.0); the appendix area draw, strip index, i-th
@@ -671,6 +709,71 @@ SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_st
 FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
   }
 
+  /** Second-order outlier rejection replay (q_reject2_outlier): the
+    * OutlierConfig2 surface — per trial the 'oarea' draw decides appendix
+    * vs regular; an appendix row proposes the strip's outlier edge with
+    * its ADJUSTED dart (stripPos/Ps + ub) as u, which then rides the SAME
+    * membership resolution as a regular dart (the engine's join). Pd is
+    * second-order (8.0 on dst % 16 = 0, else membership → 1.0 / 0.5);
+    * trial = maxTrials rows take the exact Ps·Pd draw on 'exact'. */
+  private def reject2OutlierSql: String = {
+    val pd = "CASE WHEN cand % 16 = 0 THEN 8.0 " +
+      "WHEN COALESCE(list_contains(pnbrs, cand), FALSE) THEN 1.0 ELSE 0.5 END"
+    val bw = "list_transform(range(1, len(nbrs) + 1), i -> wts[i] * " +
+      "(CASE WHEN nbrs[i] % 16 = 0 THEN 8.0 " +
+      "WHEN COALESCE(list_contains(pnbrs, nbrs[i]), FALSE) THEN 1.0 ELSE 0.5 END))"
+    "WITH RECURSIVE " + derivationCte.stripPrefix("WITH ") + walkPrepCte +
+      equalStartsCte(2000) +
+      s""", adjo AS MATERIALIZED (
+  SELECT v, nbrs, wts, opos, len(opos) AS num, list_sum(wts) AS total,
+         CASE WHEN len(opos) > 0
+              THEN 7 * list_max(list_transform(opos, i -> wts[i])) END AS ovf
+  FROM (SELECT v, nbrs, wts,
+               list_filter(range(1, len(nbrs) + 1), i -> nbrs[i] % 16 = 0) AS opos
+        FROM adj)
+), walk(walkerId, step, curV, prevV, trial) AS (
+  SELECT walkerId, 0, curV, CAST(NULL AS BIGINT), 0 FROM starts
+  UNION ALL
+  SELECT walkerId,
+         CASE WHEN decided THEN step + 1 ELSE step END,
+         CASE WHEN decided THEN cand ELSE curV END,
+         CASE WHEN decided THEN curV ELSE prevV END,
+         CASE WHEN decided THEN 0 ELSE trial + 1 END
+  FROM (
+    SELECT q2.*,
+      (prevV IS NULL OR trial >= 64 OR u <= ($pd)) AS decided
+    FROM (
+      SELECT q1.*,
+        CASE WHEN prevV IS NULL THEN ${pickSql("nbrs", "wts", randSql("q1.walkerId", "q1.step", "s"))}
+             WHEN trial >= 64 THEN ${pickSql("nbrs", bw, randTSql("q1.walkerId", "q1.step", "q1.trial", "exact"))}
+             WHEN epos IS NOT NULL THEN nbrs[epos]
+             ELSE ${pickSql("nbrs", "wts", randTSql("q1.walkerId", "q1.step", "q1.trial", "area"))} END AS cand,
+        CASE WHEN epos IS NOT NULL THEN (rv - idx * ovf) / wts[epos] + 1.0
+             ELSE ${randTSql("q1.walkerId", "q1.step", "q1.trial", "dart")} * 1.0 END AS u
+      FROM (
+        SELECT q0.*,
+          CASE WHEN rv > 0
+               THEN CAST(opos[CAST(LEAST(CAST(FLOOR(rv / ovf) AS BIGINT), num - 1) AS INTEGER) + 1] AS INTEGER) END AS epos,
+          CASE WHEN rv > 0
+               THEN LEAST(CAST(FLOOR(rv / ovf) AS BIGINT), num - 1) END AS idx
+        FROM (
+          SELECT w.walkerId, w.step, w.curV, w.prevV, w.trial,
+                 a.nbrs AS nbrs, a.wts AS wts, a.opos AS opos,
+                 a.num AS num, a.ovf AS ovf, pa.nbrs AS pnbrs,
+                 CASE WHEN w.prevV IS NOT NULL AND a.num > 0 AND w.trial < 64
+                      THEN ${randTSql("w.walkerId", "w.step", "w.trial", "oarea")}
+                             * (a.ovf * a.num + 1.0 * a.total) - 1.0 * a.total END AS rv
+          FROM walk w JOIN adjo a ON w.curV = a.v LEFT JOIN adj pa ON w.prevV = pa.v
+          WHERE w.step < 6
+        ) q0
+      ) q1
+    ) q2
+  ) WHERE cand IS NOT NULL
+)
+SELECT walkerId, string_agg(CAST(curV AS VARCHAR), ' ' ORDER BY step) AS path_str
+FROM walk WHERE trial = 0 GROUP BY walkerId ORDER BY walkerId"""
+  }
+
   /** Outlier-appendix rejection replay (q_reject_outlier): adjo extends
     * the adjacency with the hook results — outlier positions (dst % 16 =
     * 0), their count, and the declared overflow ovf = 7 · max outlier
@@ -1066,6 +1169,8 @@ ORDER BY asset_id, frame_idx""",
     "q_reject_outlier" -> rejectOutlierSql,
 
     "q_reject2_generic" -> reject2GenericSql,
+
+    "q_reject2_outlier" -> reject2OutlierSql,
 
     "q_metapath" -> metapathSql,
   ) ++ lastPagerankConvIters.map(k => "q_pagerank_conv" -> pagerankSql(k))
