@@ -438,7 +438,9 @@ object Walk {
       portableRng: Boolean = false,
       sampleSalt: String = "gs",
       store: Option[graft.engine.Iterate.CheckpointStore] = None,
-      runName: String = "gstate")(implicit senc: Encoder[S]): DataFrame = {
+      runName: String = "gstate",
+      rejectBounds: Option[(Double, Double, Int)] = None)(
+      implicit senc: Encoder[S]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -491,7 +493,12 @@ object Walk {
     // resumes is the caller's contract (see checkManifest)
     val run = new DurableRun(spark, store, runName, maxSteps,
       s"genericStateful seed=$seed portable=$portableRng salt=$sampleSalt " +
-        s"static=${cfg.static} startsFp=${startsFingerprint(starts)}")
+        s"static=${cfg.static} startsFp=${startsFingerprint(starts)}" +
+        rejectBounds.map(b => s" reject=$b").getOrElse(""))
+    val portable = portableRng
+    val rejB = rejectBounds
+    val accPre = spark.sparkContext.longAccumulator(s"$runName-rejPre")
+    val accEval = spark.sparkContext.longAccumulator(s"$runName-rejEval")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val (f0, step0) = run.seed(history, asFp(starts
       .select(col("walkerId"), col("curV")).as[(Long, Long)]
@@ -514,30 +521,93 @@ object Walk {
       val advanced = joined.flatMap { case ((wid, st, cur, state), (_, nbrs, wts, edatas)) =>
         val pe = cfg.extension(st, state, cur)
         if (pe < 1.0 && rnd(wid, st, "keep", 1L) >= pe) Iterator.empty[(Long, Int, Long, S)]
-        else {
-          val n = nbrs.size
-          val an = new scala.collection.mutable.ArrayBuffer[Long](n)
-          val aw = new scala.collection.mutable.ArrayBuffer[Double](n)
-          var i = 0
-          while (i < n) {
-            val s0 = if (unbiased) 1.0 else wts(i)
-            val bw = s0 * cfg.bias(st, state, cur, nbrs(i), wts(i), edatas(i))
-            if (bw > 0.0) { an += nbrs(i); aw += bw }
-            i += 1
-          }
-          var total = 0.0
-          var t = 0
-          while (t < aw.size) { total += aw(t); t += 1 }
-          if (an.isEmpty || total <= 0.0) Iterator.empty
-          else {
-            // same capped inverse-CDF as the column samplers
-            val dart = rnd(wid, st, sampleSalt, 2L) * total
-            var cum = 0.0
-            var j = 0
-            while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
-            val nxt = an(j)
-            Iterator.single((wid, st + 1, nxt, cfg.update(state, wid, cur, nxt)))
-          }
+        else rejB match {
+          case None =>
+            val n = nbrs.size
+            val an = new scala.collection.mutable.ArrayBuffer[Long](n)
+            val aw = new scala.collection.mutable.ArrayBuffer[Double](n)
+            var i = 0
+            while (i < n) {
+              val s0 = if (unbiased) 1.0 else wts(i)
+              val bw = s0 * cfg.bias(st, state, cur, nbrs(i), wts(i), edatas(i))
+              if (bw > 0.0) { an += nbrs(i); aw += bw }
+              i += 1
+            }
+            var total = 0.0
+            var t = 0
+            while (t < aw.size) { total += aw(t); t += 1 }
+            if (an.isEmpty || total <= 0.0) Iterator.empty
+            else {
+              // same capped inverse-CDF as the column samplers
+              val dart = rnd(wid, st, sampleSalt, 2L) * total
+              var cum = 0.0
+              var j = 0
+              while (j < an.size - 1 && { cum += aw(j); cum <= dart }) j += 1
+              val nxt = an(j)
+              Iterator.single((wid, st + 1, nxt, cfg.update(state, wid, cur, nxt)))
+            }
+          case Some((ub, lb, mt)) =>
+            // the reference's LOCAL rejection loop over a STATE-reading
+            // bias (walk.hpp:1030-1040 × the walker_data_t surface):
+            // propose from the statics, pre-accept darts ≤ lb without
+            // calling the user bias, otherwise evaluate it once; mt
+            // straight rejections take one exact Ps·bias draw
+            // (distribution-neutral — same accept-conditional law)
+            val n = nbrs.size
+            def stat(i: Int): Double = if (unbiased) 1.0 else wts(i)
+            var total = 0.0
+            var i = 0
+            while (i < n) { total += stat(i); i += 1 }
+            if (n == 0 || total <= 0.0) Iterator.empty[(Long, Int, Long, S)]
+            else {
+              def rT(trial: Int, k: Int): Double =
+                if (portable)
+                  graft.text.TextOps.h64jvm(
+                    s"$seedL:$wid:$st:$trial:${RejectSaltsP(k)}").toDouble /
+                    1152921504606846976.0 // 2^60
+                else jvmRand(seedL, wid, (st.toLong << 20) | trial.toLong,
+                  RejectSaltsJ(k))
+              var trial = 0
+              var dst = -1L
+              while (dst < 0 && trial < mt) {
+                val dart = rT(trial, 0) * total
+                var cum = 0.0
+                var j = 0
+                while (j < n - 1 && { cum += stat(j); cum <= dart }) j += 1
+                val u = rT(trial, 1) * ub
+                if (u <= lb) { accPre.add(1L); dst = nbrs(j) }
+                else {
+                  val pd = cfg.bias(st, state, cur, nbrs(j), wts(j), edatas(j))
+                  require(pd <= ub && pd >= lb,
+                    s"user bias $pd outside declared bounds [$lb, $ub] " +
+                      s"(step=$st curV=$cur cand=${nbrs(j)})")
+                  accEval.add(1L)
+                  if (u <= pd) dst = nbrs(j)
+                }
+                trial += 1
+              }
+              if (dst >= 0)
+                Iterator.single((wid, st + 1, dst, cfg.update(state, wid, cur, dst)))
+              else {
+                val bw = new Array[Double](n)
+                var bt = 0.0
+                var k2 = 0
+                while (k2 < n) {
+                  bw(k2) = stat(k2) * cfg.bias(st, state, cur, nbrs(k2), wts(k2), edatas(k2))
+                  bt += bw(k2); k2 += 1
+                }
+                accEval.add(n.toLong)
+                if (bt <= 0.0) Iterator.empty[(Long, Int, Long, S)]
+                else {
+                  val dart2 = rT(mt, 2) * bt
+                  var cum = 0.0
+                  var j = 0
+                  while (j < n - 1 && { cum += bw(j); cum <= dart2 }) j += 1
+                  val nxt = nbrs(j)
+                  Iterator.single((wid, st + 1, nxt, cfg.update(state, wid, cur, nxt)))
+                }
+              }
+            }
         }
       }
       val truncated = run.truncate(asFp(advanced), step + 1)
@@ -548,7 +618,45 @@ object Walk {
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     adj.unpersist(false)
+    if (rejB.nonEmpty) {
+      logReject((accPre.value, 0L, accEval.value))
+      System.err.println(s"[graft:$runName] reject totals: " +
+        s"preaccept=${accPre.value} biasEvals=${accEval.value}")
+    }
     history.reduce(_ unionAll _)
+  }
+
+  /** [[genericStateful]] sampled by REJECTION under user-declared dynamic
+    * bounds — the composition of the reference's full `walker_data_t`
+    * surface with its `dcomp_upperbound_func`/`dcomp_lowerbound_func`
+    * strategy (include/walk.hpp:154-190 × :241-271, local loop
+    * :1030-1040): the bias hook reads the walker's typed state, darts ≤
+    * `lower` accept without calling it, and `maxTrials` straight
+    * rejections take one exact Ps·bias draw (distribution-neutral;
+    * zero-dynamic-mass positions get the exact engine's death). Same law
+    * as [[genericStateful]] with the same config — RejectSpec pins the
+    * state-conditional frequency law and the eval-count ordering.
+    *
+    * @param upper must dominate every bias value (for every state)
+    * @param lower must not exceed any bias value (0 disables pre-accept) */
+  def genericStatefulReject[S](
+      edges: DataFrame,
+      starts: DataFrame,
+      maxSteps: Int,
+      config: StatefulConfig[S],
+      upper: Double,
+      lower: Double = 0.0,
+      maxTrials: Int = 64,
+      seed: Long = 42L,
+      portableRng: Boolean = false,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
+      runName: String = "gstaterej")(implicit senc: Encoder[S]): DataFrame = {
+    require(upper > 0 && lower >= 0 && lower <= upper,
+      s"need 0 <= lower <= upper and upper > 0 (got lower=$lower upper=$upper)")
+    require(maxTrials >= 1, s"maxTrials must be >= 1 (got $maxTrials)")
+    genericStateful(edges, starts, maxSteps, config, seed, portableRng,
+      sampleSalt = "gs", store, runName,
+      rejectBounds = Some((upper, lower, maxTrials)))
   }
 
   /** [[genericStateful]] with LOCAL CHAINING — the reference's local

@@ -378,6 +378,82 @@ class RejectSpec extends SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
   }
 
+  test("genericStatefulReject: state-conditional law matches the exact stateful engine's analytic distribution") {
+    // bias reads the walker's typed state: walkers carry a FIXED state
+    // wid % 4 (update = identity), bias = 2.0 when (state ^ dst) is even
+    // else 0.5 — per (state, v0) the analytic law is known in closed form
+    val cfg = Walk.StatefulConfig[Long](
+      init = (wid, _) => wid % 4,
+      bias = (_, state, _, dst, _, _) =>
+        if (((state ^ dst) & 1L) == 0L) 2.0 else 0.5,
+      update = (state, _, _, _) => state)
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 60000)
+    val fp = Walk.genericStatefulReject(smallGraph, starts, maxSteps = 1, cfg,
+      upper = 2.0, lower = 0.5, seed = 53)
+    val edges = collectEdges(smallGraph)
+    val adjm =
+      edges.groupBy(_._1).view.mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    val rows = fp.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val hops = rows.filter(_._2 == 1)
+      .groupBy { case (wid, _, _) =>
+        (wid % 4, rows.find(r => r._1 == wid && r._2 == 0).get._3) }
+    var sqErr = 0.0; var cases = 0
+    for (((state, v0), ps) <- hops if ps.length >= 300) {
+      val biased = adjm(v0).map { case (c, w) =>
+        c -> w * (if (((state ^ c) & 1L) == 0L) 2.0 else 0.5) }
+      val tot = biased.values.sum
+      val counts = ps.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(counts.keySet.subsetOf(adjm(v0).keySet))
+      for ((c, bw) <- biased) {
+        val gotP = counts.getOrElse(c, 0).toDouble / ps.length
+        sqErr += math.pow(gotP - bw / tot, 2); cases += 1
+      }
+    }
+    assert(cases > 50, s"only $cases cases with enough samples")
+    assert(sqErr / cases < 0.001, s"mean sqErr ${sqErr / cases}")
+    // rejection really ran: lb pre-accepts and bias evaluations both fired
+    var pre = 0L; var evals = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) { val e = its.next(); pre += e._1; evals += e._3 }
+    assert(pre > 0, "lower bound never pre-accepted")
+    assert(evals > 0, "state-reading bias never evaluated")
+  }
+
+  test("genericStatefulReject: lb = ub evaluates ZERO bias calls and is deterministic") {
+    val cfg = Walk.StatefulConfig[Long](
+      init = (wid, _) => wid,
+      bias = (_, _, _, _, _, _) => 1.0,
+      update = (state, _, _, nxt) => state * 31L + nxt)
+    Walk.rejectLog.clear()
+    val starts = Walk.equalStarts(smallGraph, 400)
+    def run() = Walk.genericStatefulReject(smallGraph, starts, maxSteps = 4,
+      cfg, upper = 1.0, lower = 1.0, seed = 19).collect()
+      .map(_.toString).sorted
+    val r1 = run()
+    var evals = 0L
+    val its = Walk.rejectLog.iterator()
+    while (its.hasNext) evals += its.next()._3
+    assert(evals == 0, s"$evals bias evaluations with lb = ub")
+    assert(r1.sameElements(run()))
+  }
+
+  test("genericStatefulReject fails loudly when the bias violates its declared bounds") {
+    val cfg = Walk.StatefulConfig[Long](
+      init = (wid, _) => wid,
+      bias = (_, _, _, _, _, _) => 3.0,
+      update = (state, _, _, _) => state)
+    val starts = Walk.equalStarts(smallGraph, 50)
+    val e = intercept[Exception] {
+      Walk.genericStatefulReject(smallGraph, starts, maxSteps = 3, cfg,
+        upper = 1.0, lower = 0.0, seed = 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
+  }
+
   test("p=q=1 collapses to the first-order law (every dart pre-accepts at lb = ub)") {
     Walk.rejectLog.clear()
     // sink-free graph (ring ∪ random chords): every walker must survive
