@@ -2767,6 +2767,7 @@ object Walk {
       seed: Long = 42L,
       portableRng: Boolean = false,
       outliers: Option[OutlierConfig] = None,
+      store: Option[graft.engine.Iterate.CheckpointStore] = None,
       runName: String = "gwalkrej"): DataFrame = {
     require(config.dynamic.nonEmpty,
       "genericReject needs a dynamic component — use generic/firstOrder for static-only walks")
@@ -2781,13 +2782,21 @@ object Walk {
     val sampler = rejectSampleUdf(
       config.dynamic.get, upper, lower, maxTrials, portableRng, outliers)
 
+    // durable per-step snapshots + resume, like every join engine —
+    // randomness keys on (seed, walkerId, step, trial), never on history,
+    // so a resumed run is bitwise-identical (WalkResumeSpec); the in-row
+    // retry loop makes the step the natural durable unit (no trial state
+    // survives a step boundary)
+    val run = new DurableRun(edges.sparkSession, store, runName, maxSteps,
+      s"genericReject seed=$seed portable=$portableRng " +
+        s"bounds=($lower,$upper) maxTrials=$maxTrials " +
+        s"static=${config.static} outliers=${outliers.nonEmpty} " +
+        s"ext=${extensionFingerprint(config.extension)} " +
+        s"startsFp=${startsFingerprint(starts)}")
     val history = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var frontier: DataFrame = truncateReal(
+    var (frontier, step) = run.seed(history,
       starts.select(col("walkerId"), lit(0).as("step"), col("curV")))
-    history += frontier.select(col("walkerId"), col("step"),
-      col("curV").as("vertex"))
     var active = frontier.count()
-    var step = 0
     while (active > 0 && step < maxSteps) {
       val alive = applyExtension(frontier, config.extension, seed, portableRng)
       val light = active < LightModeThreshold
@@ -2805,13 +2814,11 @@ object Walk {
           col("prop._4").as("app"))
         .observe(obs, sum(col("evals")).as("evals"), sum(col("pre")).as("pre"),
           sum(col("app")).as("app"))
-      val (f2, n) = truncateRealCounted(
-        stepped.select(col("walkerId"), col("step"), col("curV")))
-      frontier = f2
-      history += frontier.select(col("walkerId"), col("step"),
-        col("curV").as("vertex"))
+      frontier = run.truncate(
+        stepped.select(col("walkerId"), col("step"), col("curV")), step + 1)
+      history += frontier
       step += 1
-      active = n
+      active = frontier.count()
       val nPre = Option(obs.get("pre")).collect { case l: Long => l }.getOrElse(0L)
       val nEv = Option(obs.get("evals")).collect { case l: Long => l }.getOrElse(0L)
       val nApp = Option(obs.get("app")).collect { case l: Long => l }.getOrElse(0L)
@@ -2821,8 +2828,30 @@ object Walk {
       System.err.println(s"[graft:$runName] step=$step active=$active " +
         s"preaccept=$nPre appendix=$nApp pdEvals=$nEv")
     }
-    history.reduce(_ unionAll _)
+    history.map(f => f.select(col("walkerId"), col("step"),
+      col("curV").as("vertex"))).reduce(_ unionAll _)
   }
+
+  /** Epoched [[genericReject]] — the walk-rate memory bound composed with
+    * the rejection engine (reference include/walk.hpp:140-144; RNG keys
+    * on the absolute walkerId, so epoched == single-run bitwise). */
+  def genericRejectEpoched(
+      edges: DataFrame,
+      startsFor: (Long, Long) => DataFrame,
+      numWalkers: Long,
+      epochs: Int,
+      maxSteps: Int,
+      config: TransitionConfig,
+      upper: Double,
+      lower: Double = 0.0,
+      maxTrials: Int = 64,
+      seed: Long = 42L,
+      portableRng: Boolean = false,
+      outliers: Option[OutlierConfig] = None): DataFrame =
+    epochedRun(edges.sparkSession, numWalkers, epochs) { case (begin, end) =>
+      genericReject(edges, startsFor(begin, end), maxSteps, config,
+        upper, lower, maxTrials, seed, portableRng, outliers)
+    }
 
   /** Heterogeneous-edge metapath walk (reference src/apps/metapath.hpp:
     * 70-128 + metascheme.hpp): edges carry an `etype` column; walker w

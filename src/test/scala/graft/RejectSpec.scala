@@ -378,6 +378,23 @@ class RejectSpec extends SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("outside declared bounds")))
   }
 
+  test("genericRejectEpoched == one big rejection run (bitwise)") {
+    import org.apache.spark.sql.functions.col
+    val pd: (Int, Long, Long, Double) => Double =
+      (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
+    val cfg = Walk.TransitionConfig(dynamic = Some(pd))
+    val one = Walk.genericReject(smallGraph, Walk.equalStarts(smallGraph, 60),
+        maxSteps = 4, cfg, upper = 2.0, lower = 0.5, seed = 59)
+      .orderBy("walkerId", "step").collect().toSeq
+    def startsFor(b: Long, e: Long) =
+      Walk.equalStarts(smallGraph, 60)
+        .filter(col("walkerId") >= b && col("walkerId") < e)
+    val epoched = Walk.genericRejectEpoched(smallGraph, startsFor, 60,
+        epochs = 3, maxSteps = 4, cfg, upper = 2.0, lower = 0.5, seed = 59)
+      .orderBy("walkerId", "step").collect().toSeq
+    assert(epoched === one)
+  }
+
   test("genericStatefulReject: state-conditional law matches the exact stateful engine's analytic distribution") {
     // bias reads the walker's typed state: walkers carry a FIXED state
     // wid % 4 (update = identity), bias = 2.0 when (state ^ dst) is even

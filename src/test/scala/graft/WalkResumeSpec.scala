@@ -36,6 +36,27 @@ class WalkResumeSpec extends SparkSpec {
     assert(hi === 8)
   }
 
+  test("rejection walk (user Pd + bounds) resumes mid-run bitwise-identically") {
+    val edges = randomEdges(vNum = 50, eNum = 250, seed = 21)
+    val starts = Walk.equalStarts(edges, 80)
+    val pd: (Int, Long, Long, Double) => Double =
+      (_, _, dst, _) => if (dst % 2 == 0) 2.0 else 0.5
+    val cfg = Walk.TransitionConfig(dynamic = Some(pd))
+    val full = fpSet(Walk.genericReject(edges, starts, maxSteps = 6, cfg,
+      upper = 2.0, lower = 0.5, seed = 23))
+    val root = java.nio.file.Files.createTempDirectory("graft-rej-resume").toString
+    val store = new Iterate.CheckpointStore(root, spark)
+    // "crash" after 2 steps, then resume with the same store to 6 —
+    // the in-row retry loop leaves no trial state across steps, so the
+    // step snapshot is the complete durable unit
+    Walk.genericReject(edges, starts, maxSteps = 2, cfg,
+      upper = 2.0, lower = 0.5, seed = 23, store = Some(store), runName = "rj")
+    val resumed = fpSet(Walk.genericReject(edges, starts, maxSteps = 6, cfg,
+      upper = 2.0, lower = 0.5, seed = 23, store = Some(store), runName = "rj"))
+    assert(resumed === full)
+    assert(store.latest("rj").get._1 === 6)
+  }
+
   test("second-order walk resumes mid-run bitwise-identically (prevV state persisted)") {
     val edges = randomEdges(vNum = 50, eNum = 250, seed = 9)
     val starts = Walk.equalStarts(edges, 80)
