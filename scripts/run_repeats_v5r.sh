@@ -16,7 +16,7 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network
 export SPARK_GRAFT_PHASES="deepwalk_chained,node2vec_chained"
 
 mkdir -p target/campaigns
-for i in 5; do
+for i in 6; do
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 2 "BENCH/PAIR_v5r_1500k_r${i}.md" \
     > "target/campaigns/v5r_1500k_r${i}.log" 2>&1
   echo "v5r r${i} rc=$?" >> target/campaigns/status
