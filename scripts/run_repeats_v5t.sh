@@ -14,7 +14,7 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network
 export SPARK_GRAFT_PHASES="metapath_chained"
 
 mkdir -p target/campaigns
-for i in 3; do
+for i in 4; do
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 2 "BENCH/PAIR_v5t_1500k_r${i}.md" \
     > "target/campaigns/v5t_1500k_r${i}.log" 2>&1
   echo "v5t r${i} rc=$?" >> target/campaigns/status
