@@ -1498,7 +1498,7 @@ object Walk {
       val indexed = graft.derive.Derive.withDenseVid(
           verts.withColumnRenamed("v", "conv_id").withColumn("turn_idx", lit(0)))
         .select(col("conv_id").as("v"), col("vid").as("idx"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       (indexed, indexed.count())
     })
   }
