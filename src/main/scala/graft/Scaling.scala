@@ -272,8 +272,22 @@ object Scaling {
     val n = if (args.length > 1) args(1).toInt else 8
     val out = if (args.length > 2) args(2) else "BENCH/BASELINE.md"
 
-    val rN = spawn(nConvs, n, s"/tmp/graft-scaling-$n.tsv")
-    val r4N = spawn(nConvs, 4 * n, s"/tmp/graft-scaling-${4 * n}.tsv")
+    // SPARK_GRAFT_4N_FIRST=1 swaps the child RUN ORDER (report columns
+    // unchanged). Diagnostic for host-service decay: every child is
+    // identical deterministic work, so if 4N-stall samples follow the
+    // SECOND slot rather than the wider level, the stall is
+    // time-dependent throttling of a long-running host, not a property
+    // of parallelism.
+    val swap = sys.env.get("SPARK_GRAFT_4N_FIRST").contains("1")
+    val (rN, r4N) = if (swap) {
+      val b = spawn(nConvs, 4 * n, s"/tmp/graft-scaling-${4 * n}.tsv")
+      val a = spawn(nConvs, n, s"/tmp/graft-scaling-$n.tsv")
+      (a, b)
+    } else {
+      val a = spawn(nConvs, n, s"/tmp/graft-scaling-$n.tsv")
+      val b = spawn(nConvs, 4 * n, s"/tmp/graft-scaling-${4 * n}.tsv")
+      (a, b)
+    }
 
     val tN = rN.map(_.sec).sum
     val t4N = r4N.map(_.sec).sum
