@@ -17,7 +17,7 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network
 export SPARK_GRAFT_PHASES="derive_edges,pagerank_10it,cc_conv,deepwalk_chained,node2vec_chained,ann_cosine_all_pairs"
 
 mkdir -p target/campaigns
-for i in 3; do
+for i in "${IDX:-4}"; do
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 2 "BENCH/PAIR_v5u_1500k_r${i}.md" \
     > "target/campaigns/v5u_1500k_r${i}.log" 2>&1
   echo "v5u r${i} rc=$?" >> target/campaigns/status
