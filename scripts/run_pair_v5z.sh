@@ -13,7 +13,15 @@ cd /root/repo
 mkdir -p target/campaigns
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s -Dspark.sql.adaptive.coalescePartitions.parallelismFirst=false -Xmx32g"
+# HEAP: both children inherit the parent's -Xmx (Scaling.spawn forwards
+# it), so the heap is LEVEL-CONSTANT whatever it is set to. r1 ran the
+# series' 32g and the local[32] child GC-thrashed at 6M (gc 548/909 s):
+# with shuffle partitions pinned at 32, the 4N level runs all 32
+# partitions concurrently vs 8-at-a-time at N — 4x the simultaneous
+# working set on the same heap, a sandbox artifact a real 4N cluster
+# does not have (each executor brings its own heap). r2+ use 64g at
+# BOTH levels to restore the cluster-like memory-per-concurrent-task.
+JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s -Dspark.sql.adaptive.coalescePartitions.parallelismFirst=false -Xmx${HEAP:-32g}"
 export SPARK_GRAFT_PHASES="derive_edges,pagerank_10it,cc_conv"
 
 for i in "${IDX:-1}"; do
