@@ -165,6 +165,16 @@ object Components {
     (r.getLong(0), r.getDecimal(1))
   }
 
+  /** Explain-only replica of one star round over the canonical edge set
+    * (r06 plan audit). Never executed by the engine. */
+  def roundPlanForExplain(edges: DataFrame): DataFrame = {
+    val canonical = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+    smallStar(largeStar(canonical), dedup = false)
+  }
+
   /** @return (v LONG, comp LONG); `strict` throws if `maxIter` is reached
     *         before the star fixpoint (no silent non-convergence). */
   def run(
@@ -185,6 +195,12 @@ object Components {
       // iterated state and the round count by the local compression
       // ratio) and produces identical exact component ids
       preContract: Boolean = true): DataFrame = {
+    // r6 (VERDICT r5 watch item #3): the v5g campaign fix —
+    // coalescePartitions.parallelismFirst=false — moves from the campaign
+    // envelope into the library: pre-contraction granularity (and with it
+    // the star-round count) must depend on DATA size, not on local[N].
+    // Scoped save/restore, same pattern as Walk.fetchByVertex.
+    graft.engine.Conf.withIterTuning(edges.sparkSession) {
     val verts = GraphOps.vertices(edges)
 
     val canonical = edges
@@ -271,6 +287,7 @@ object Components {
       case None =>
         verts.join(parents, Seq("v"), "left")
           .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+    }
     }
   }
 }

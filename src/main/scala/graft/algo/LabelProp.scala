@@ -17,6 +17,23 @@ import graft.graph.GraphOps
   */
 object LabelProp {
 
+  /** Explain-only replica of one LPA step (r06 plan audit). */
+  def stepPlanForExplain(edges: DataFrame): DataFrame = {
+    val und = GraphOps.undirect(edges)
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val state = GraphOps.vertices(edges).select(col("v"), col("v").as("label"))
+    val byLabel = und
+      .join(state.select(col("v").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("v"), col("label"))
+      .agg(sum("w").as("wt"))
+    val rankW = Window.partitionBy(col("v"))
+      .orderBy(col("wt").desc, col("label").asc)
+    byLabel
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("v"), col("label"))
+  }
+
   /** @return (v LONG, label LONG) after exactly `iters` iterations. */
   def run(
       edges: DataFrame,
@@ -36,16 +53,21 @@ object LabelProp {
         .join(state.select(col("v").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(sum("w").as("wt"))
-      val rankW = Window.partitionBy(col("v"))
-        .orderBy(col("wt").desc, col("label").asc)
+      // r6: the argmax by (wt desc, label asc) as a max_by aggregation
+      // instead of a row_number window — drops the per-partition sort and
+      // partial-aggregates map-side (guide §2.3 "aggregate before you
+      // shuffle"). The ordering struct (wt, -label) has no ties (one row
+      // per (v, label)), labels are non-negative vids so -label is safe,
+      // and integer weights make the argmax exact — identical labels.
       byLabel
-        .withColumn("rn", row_number().over(rankW))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("label"))
+        .groupBy(col("v"))
+        .agg(max_by(col("label"), struct(col("wt"), -col("label"))).as("label"))
     }
 
-    val out = Iterate.run(runName, state0, step, (_, _, _) => false,
-      iters, Some(iters), store)
+    val out = graft.engine.Conf.withIterTuning(edges.sparkSession) {
+      Iterate.run(runName, state0, step, (_, _, _) => false,
+        iters, Some(iters), store)
+    }
     und.unpersist()
     out
   }

@@ -28,6 +28,33 @@ import graft.engine.Iterate
   */
 object PageRank {
 
+  /** Explain-only replica of one power-iteration step (r06 plan audit):
+    * the plan shape of [[run]]'s per-iteration job against an
+    * unpersisted uniform rank vector. Never executed by the engine. */
+  def stepPlanForExplain(edges: DataFrame): DataFrame = {
+    val alpha = 0.85
+    val verts = graft.graph.GraphOps.vertices(edges)
+    val outw = edges.groupBy(col("src")).agg(sum("weight").as("ow"))
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("ow")).as("p"))
+    val vflag = verts
+      .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
+    val ranks = vflag.select(col("v"), col("hasOut"), lit(1e-4).as("rank"), lit(1.0).as("delta"))
+    val dangling = ranks.filter(!col("hasOut"))
+      .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+    val contrib = trans
+      .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
+      .groupBy(col("dst").as("v"))
+      .agg(sum(col("p") * col("rank")).as("c"))
+    ranks.select(col("v"), col("hasOut"), col("rank").as("prevRank"))
+      .join(contrib, Seq("v"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("v"), col("hasOut"),
+        (lit((1.0 - alpha)) + lit(alpha) * (coalesce(col("c"), lit(0.0)) + col("dmass"))).as("rank"),
+        abs(col("rank") - col("prevRank")).as("delta"))
+  }
+
   /** @param fixedIter run exactly this many iterations (no convergence
     *                  checks — used by the DuckDB-mirrored oracle query)
     * @return (v LONG, rank DOUBLE) */
@@ -40,10 +67,7 @@ object PageRank {
       store: Option[Iterate.CheckpointStore] = None,
       runName: String = "pagerank"): DataFrame = {
     val spark = edges.sparkSession
-
-    val verts = graft.graph.GraphOps.vertices(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count().toDouble
+    graft.engine.Conf.withIterTuning(spark) {
 
     val outw = edges.groupBy(col("src")).agg(sum("weight").as("ow"))
     // normalized transition edges, co-partitioned by src once for all iters
@@ -54,13 +78,13 @@ object PageRank {
     trans.count()
 
     // vertices flagged dangling (no out-edges) so the dangling-mass term
-    // is a filter+sum, not an anti-join
-    val vflag = verts
+    // is a filter+sum, not an anti-join. r6: built directly (no separate
+    // persisted verts table — one setup action fewer); its count IS |V|.
+    val vflag = graft.graph.GraphOps.vertices(edges)
       .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
       .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    vflag.count()
-    verts.unpersist()
+    val n = vflag.count().toDouble
 
     val r0 = vflag.select(col("v"), col("hasOut"),
       lit(1.0 / n).as("rank"), lit(1.0).as("delta"))
@@ -78,9 +102,15 @@ object PageRank {
         .agg(sum(col("p") * col("rank")).as("c"))
       val obs = new org.apache.spark.sql.Observation(s"$runName-delta-$iter")
       curObs = Some(obs)
-      vflag
+      // r6: the rank state is its own vertex spine (every iteration emits
+      // exactly one row per vflag row, hasOut riding along), so the old
+      // per-iteration vflag⋈contrib⋈ranks double join collapses to ONE
+      // left join — one exchange + one persisted-table scan fewer per
+      // iteration, identical arithmetic (guide §2.4: remove shuffles
+      // outright).
+      ranks
+        .select(col("v"), col("hasOut"), col("rank").as("prevRank"))
         .join(contrib, Seq("v"), "left")
-        .join(ranks.select(col("v"), col("rank").as("prevRank")), Seq("v"))
         .crossJoin(broadcast(dangling))
         .select(col("v"), col("hasOut"),
           (lit((1.0 - alpha) / n) +
@@ -99,5 +129,6 @@ object PageRank {
     trans.unpersist(false)
     vflag.unpersist(false)
     out
+    }
   }
 }

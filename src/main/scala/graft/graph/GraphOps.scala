@@ -145,12 +145,22 @@ object GraphOps {
   def bucketedAdjacencyCached(edges: DataFrame, rangeSize: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val key = (spark, edges.queryExecution.analyzed.canonicalized, rangeSize)
+    val canonical = edges.queryExecution.analyzed.canonicalized
+    val key = (spark, canonical, rangeSize)
     bucketAdjCache.computeIfAbsent(key, _ => {
       System.err.println(
         s"[graft:csr] building bucketed-adjacency cache entry #${bucketAdjCache.size + 1} " +
           "(release via GraphOps.clearAdjacencyCache / Walk.releaseCaches)")
-      val df = adjacency(edges)
+      // r6: when the SAME edge plan already has a plain session CSR, the
+      // bucketed form is a narrow map over that cache — the groupBy and
+      // the per-vertex Vose build are paid once per (session, edge plan),
+      // not once per cache flavour (guide §1.2: don't recompute what you
+      // already hold).
+      val source: Dataset[AdjRow] = Option(adjCache.get((spark, canonical))) match {
+        case Some(cached) => cached.as[AdjRow]
+        case None => adjacency(edges)
+      }
+      val df = source
         .map(a => (a.v / rangeSize, a.v, a))
         .toDF("bucket", "v", "adj")
         .sortWithinPartitions("v")

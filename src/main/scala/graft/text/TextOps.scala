@@ -153,17 +153,110 @@ object TextOps {
   /** MinHash signatures: one portable md5 per shingle ([[h64]] mod P),
     * then k universal-hash derivations ([[hashFamily]]); signature(i) =
     * min over shingles. Exactly replayable in DuckDB SQL, and cheaper
-    * than k independent full hashes (k codegen'd multiply-mods per
-    * shingle instead of k string hashes). */
-  def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame = {
-    val fam = hashFamily(k)
-    val sh = docs.select(col("doc_id"),
-      transform(array_distinct(shingles(col("text"), n)), s => pmod(h64(s), lit(HashP)))
-        .as("th"))
-    val sig = array(fam.map { case (a, b) =>
-      array_min(transform(col("th"), t => pmod(t * a + b, lit(HashP))))
-    }: _*)
-    sh.select(col("doc_id"), sig.as("sig"))
+    * than k independent full hashes (k multiply-mods per shingle instead
+    * of k string hashes).
+    *
+    * r6: computed in ONE JVM pass per document (tokenize → shingle →
+    * md5 → k mins, [[minhashSigUdf]]) instead of the former column
+    * pipeline, which materialized the token array, the shingle-string
+    * array, the distinct copy, the 60-bit-hash array, and then k
+    * transformed arrays + array_min per document — and whose per-shingle
+    * h64 went md5 → hex string → substring → conv(16,10) → cast. The
+    * guide's §4 trade (row-boundary cost vs per-row allocation storm)
+    * favors the fused pass here; values are bit-identical (same md5
+    * bytes, same Long arithmetic — BenchExtra A/B + PipelineSpec +
+    * q_minhash_lsh oracle). */
+  def minhashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), minhashSigUdf(k, n)(col("text")).as("sig"))
+
+  /** Spark-semantics lower (ASCII fast path, else JVM toLowerCase) —
+    * must match UTF8String.toLowerCase exactly. */
+  private def sparkLower(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (i < s.length && ascii) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase
+    else {
+      val arr = s.toCharArray
+      var j = 0
+      while (j < arr.length) {
+        val c = arr(j)
+        if (c >= 'A' && c <= 'Z') arr(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(arr)
+    }
+  }
+
+  /** Spark-semantics trim: leading/trailing SPACE (0x20) only — JVM
+    * String.trim strips all control chars and would disagree. */
+  private def sparkTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** One-pass signature kernel: text → Spark-equivalent lower/trim/split →
+    * word n-gram shingles (whole-token-list fallback below n, exactly
+    * [[shingles]]) → per distinct shingle the 60-bit md5 prefix mod
+    * [[HashP]] → running min of (a_i·t + b_i) mod P for each family
+    * member. Every step mirrors the column pipeline bit-for-bit: the
+    * 60-bit prefix is (first 8 md5 bytes big-endian) >>> 4 — the numeric
+    * value of the first 15 hex digits — and all arithmetic is the same
+    * non-negative Long math ANSI pmod performs. */
+  def minhashSigUdf(k: Int, n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val famA = hashFamily(k).map(_._1).toArray
+    val famB = hashFamily(k).map(_._2).toArray
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = wsPattern.split(sparkTrim(sparkLower(text)), -1)
+        val shingleSet = new java.util.HashSet[String]()
+        if (toks.length < n) shingleSet.add(toks.mkString(" "))
+        else {
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i <= toks.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            shingleSet.add(sb.toString)
+            i += 1
+          }
+        }
+        val mins = new Array[Long](k)
+        java.util.Arrays.fill(mins, Long.MaxValue)
+        val md = md5Local.get()
+        val it = shingleSet.iterator()
+        while (it.hasNext) {
+          val s = it.next()
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex digits = first 60 bits, as a non-negative long
+          val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+          val t = h % HashP
+          var f = 0
+          while (f < k) {
+            val v = (t * famA(f) + famB(f)) % HashP
+            if (v < mins(f)) mins(f) = v
+            f += 1
+          }
+        }
+        mins
+      }
+    }
   }
 
   /** MinHash-LSH near-dup candidates: band the signature (bands of

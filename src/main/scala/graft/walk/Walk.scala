@@ -309,14 +309,17 @@ object Walk {
           // single evaluation of the random extension filter — see
           // firstOrder's light-mode comment
           val aliveL = if (light) lightFrontier(alive) else alive
-          val side = if (light) broadcast(aliveL) else aliveL
+          val side =
+            if (light || active < BroadcastFrontierThreshold) broadcast(aliveL) else aliveL
           val adjSide = if (light) pruneAdjToFrontier(adj, aliveL, "v", "curV") else adj
-          frontier = run.truncate(side.join(adjSide, side("curV") === adjSide("v"))
-            .select(col("walkerId"), (col("step") + 1).as("step"), sampler.as("curV"))
-            .filter(col("curV").isNotNull), step + 1)
+          val (f2, n) = run.truncateCounted(
+            side.join(adjSide, side("curV") === adjSide("v"))
+              .select(col("walkerId"), (col("step") + 1).as("step"), sampler.as("curV"))
+              .filter(col("curV").isNotNull), step + 1)
+          frontier = f2
           history += frontier
           step += 1
-          active = frontier.count()
+          active = n
           System.err.println(s"[graft:$runName] step=$step active=$active")
         }
         history.map(f => f.select(col("walkerId"), col("step"), col("curV").as("vertex")))
@@ -365,14 +368,15 @@ object Walk {
       // single evaluation of the random extension filter — see
       // firstOrder's light-mode comment
       val aliveL = if (light) lightFrontier(alive) else alive
-      val frontSide = if (light) broadcast(aliveL) else aliveL
+      val frontSide =
+        if (light || active < BroadcastFrontierThreshold) broadcast(aliveL) else aliveL
       val adjSide = if (light) pruneAdjToFrontier(adj, aliveL, "v", "curV") else adj
       val nbrSide =
         if (light) broadcast(pruneAdjToFrontier(nbrSets, aliveL, "pv", "prevV"))
         else nbrSets
       val withAdj = frontSide.join(adjSide, frontSide("curV") === adjSide("v"))
       val withPrev = withAdj.join(nbrSide, withAdj("prevV") === nbrSide("pv"), "left")
-      frontier = run.truncate(withPrev.select(
+      val (f2, n) = run.truncateCounted(withPrev.select(
           col("walkerId"),
           (col("step") + 1).as("step"),
           when(col("prevV").isNull, firstStep)
@@ -380,9 +384,10 @@ object Walk {
               col("wts"), col("statics"), randSel(portableRng, seed, "n2v"))).as("curV"),
           col("curV").as("prevV"))
         .filter(col("curV").isNotNull), step + 1)
+      frontier = f2
       history += frontier
       step += 1
-      active = frontier.count()
+      active = n
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
@@ -942,6 +947,20 @@ object Walk {
     * comm threads when active < 4000, include/walk.hpp:934). */
   val LightModeThreshold = 4096L
 
+  /** Frontier size below which a HEAVY-mode step still broadcasts the
+    * frontier side of the per-step join (r6, guide §3.1): a frontier row
+    * is 3-4 longs (~32 B framed), so up to this many rows the broadcast
+    * relation stays well under the default 10 MB auto-broadcast bound —
+    * the join then streams the cached CSR in place with NO exchange and
+    * NO per-step sort, where the planner (blind behind the checkpoint's
+    * statless LogicalRDD) fell back to shuffling+sorting both sides.
+    * Unlike light mode there is no IN-set prune (a >4k-literal predicate
+    * costs more to plan than it saves), so this is purely the join-side
+    * choice. Gated on the MEASURED per-step `active` count — data-
+    * adaptive, not core-count-derived; a 100 TB frontier simply stays on
+    * the shuffle path. */
+  val BroadcastFrontierThreshold = 262144L
+
   /** Frontier size below which round-0 of the chained kernels already
     * prunes the CSR side (rounds >= 1 always prune — the crosser frontier
     * is a small subset of buckets, and re-shuffling the whole adjacency
@@ -1397,6 +1416,17 @@ object Walk {
         history += f
         (f, 0)
       }
+
+    /** [[truncate]] that also returns the step's row count, carried by a
+      * CollectMetrics node riding the truncation action itself (the
+      * checkpoint / store write) — one Spark job per step instead of the
+      * former truncate-then-count pair (r6; the chained kernels'
+      * truncateRealCounted makes the same trade). */
+    def truncateCounted(df: DataFrame, step: Int): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = truncate(df.observe(obs, count(lit(1)).as("n")), step)
+      (out, obs.get("n").asInstanceOf[Long])
+    }
   }
 
   /** Durable-run scaffolding for the CHAINED kernels (the join engines
@@ -1575,7 +1605,10 @@ object Walk {
       // IN-set prune and the join side cannot observe two different
       // evaluations of the random keep filter
       val aliveL = if (light) lightFrontier(alive) else alive
-      val frontierSide = if (light) broadcast(aliveL) else aliveL
+      // r6: mid-size frontiers broadcast too (no IN-set prune) — see
+      // BroadcastFrontierThreshold
+      val frontierSide =
+        if (light || active < BroadcastFrontierThreshold) broadcast(aliveL) else aliveL
       val adjSide = if (light) pruneAdjToFrontier(adj, aliveL, "v", "curV") else adj
       val sampled =
         if (portableRng)
@@ -1590,15 +1623,47 @@ object Walk {
       // plan truncation per step is safe with carried stats: the frontier
       // plan never self-joins, so stats grow linearly, not exponentially
       // (cf. Iterate)
-      frontier = run.truncate(advanced, step + 1)
+      val (f2, n) = run.truncateCounted(advanced, step + 1)
+      frontier = f2
       history += frontier
       step += 1
-      active = frontier.count()
+      active = n
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     // adj is session-cached (GraphOps.adjacencyCached) — not unpersisted
     // here; release via GraphOps.clearAdjacencyCache
     history.map(asFp).reduce(_ unionAll _)
+  }
+
+  /** Explain-only replica of one heavy-mode [[firstOrder]] step (r06 plan
+    * audit): frontier ⋈ session CSR + alias sample. Never executed. */
+  def firstOrderStepPlanForExplain(edges: DataFrame): DataFrame = {
+    val adj = GraphOps.adjacencyCached(edges)
+    val frontier = equalStarts(edges, 20000L)
+      .select(col("walkerId"), lit(0).as("step"), col("curV"))
+    val sampled = graft.functions.AliasSampleExpr.sample(col("nbrs"), col("prob"),
+      col("alias"), rand(42L, "a1"), rand(42L, "a2"))
+    frontier.join(adj, frontier("curV") === adj("v"))
+      .select(col("walkerId"), (col("step") + 1).as("step"), sampled.as("curV"))
+      .filter(col("curV").isNotNull)
+  }
+
+  /** Explain-only replica of one heavy-mode [[node2vec]] step (r06 plan
+    * audit). Never executed. */
+  def node2vecStepPlanForExplain(edges: DataFrame): DataFrame = {
+    val adj = GraphOps.adjacencyCached(edges)
+    val nbrSets = adj.select(col("v").as("pv"), col("nbrs").as("prevNbrs"))
+    val frontier = equalStarts(edges, 5000L)
+      .select(col("walkerId"), lit(1).as("step"), col("curV"),
+        col("curV").as("prevV"))
+    val withAdj = frontier.join(adj, frontier("curV") === adj("v"))
+    val withPrev = withAdj.join(nbrSets, withAdj("prevV") === nbrSets("pv"), "left")
+    withPrev.select(
+      col("walkerId"), (col("step") + 1).as("step"),
+      node2vecSample(col("nbrs"), col("wts"), col("prevV"), col("prevNbrs"),
+        lit(2.0), lit(0.5), rand(42L, "n2v")).as("curV"),
+      col("curV").as("prevV"))
+      .filter(col("curV").isNotNull)
   }
 
   /** Durable footprint sink (the at-scale path: one Parquet write of the
@@ -2083,7 +2148,10 @@ object Walk {
       // light mode: broadcast the tail frontier and prune both CSR scans
       // (curV adjacency + prevV neighbour sets) to the frontier's vertices
       val light = active < LightModeThreshold
-      val frontSide = if (light) broadcast(frontier) else frontier
+      // r6: mid-size frontiers broadcast without the IN-set prunes — see
+      // BroadcastFrontierThreshold
+      val frontSide =
+        if (light || active < BroadcastFrontierThreshold) broadcast(frontier) else frontier
       val adjSide = if (light) pruneAdjToFrontier(adj, frontier, "v", "curV") else adj
       val nbrSide =
         if (light) broadcast(pruneAdjToFrontier(nbrSets, frontier, "pv", "prevV"))
@@ -2104,10 +2172,11 @@ object Walk {
               lit(p), lit(q), randSel(portableRng, seed, "n2v"))).as("curV"),
         col("curV").as("prevV"))
         .filter(col("curV").isNotNull)
-      frontier = run.truncate(advanced, step + 1)
+      val (f2, n) = run.truncateCounted(advanced, step + 1)
+      frontier = f2
       history += frontier
       step += 1
-      active = frontier.count()
+      active = n
       System.err.println(s"[graft:$runName] step=$step active=$active")
     }
     history.map(_.select(col("walkerId"), col("step"), col("curV").as("vertex")))
