@@ -29,5 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the iterative benches cache the CSR + per-step
+  // frontiers and the LSH phases build wide aggregation states — at 8g the
+  // storage pool is ~4.1 GiB and repeated phases degrade measurably from
+  // eviction + collection pressure (BenchExtra showed later same-session
+  // runs 2x slower). The host has 128 GiB; production executors size
+  // spark.executor.memory the same way (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

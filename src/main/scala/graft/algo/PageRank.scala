@@ -86,12 +86,19 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vflag.count().toDouble
 
-    val r0 = vflag.select(col("v"), col("hasOut"),
-      lit(1.0 / n).as("rank"), lit(1.0).as("delta"))
+    // r6: the checkpointed state is (v, hasOut, rank) only — the delta
+    // exists solely as the observed max metric, so it no longer rides
+    // every per-iteration parquet row
+    val r0 = vflag.select(col("v"), col("hasOut"), lit(1.0 / n).as("rank"))
 
     // the max|Δ| convergence metric rides the truncation write as an
     // observe() metric — the check is a metric read, not a second scan of
-    // the just-written checkpoint
+    // the just-written checkpoint. (An r6 attempt to ALSO carry the
+    // dangling mass as an observed metric and re-inject it as lit(dmass)
+    // regressed: a fresh double literal per iteration defeats the
+    // generated-code cache, and the per-iteration recompile costs more
+    // than the broadcast-subquery job it saved. The scalar crossJoin
+    // compiles once and stays.)
     var curObs: Option[org.apache.spark.sql.Observation] = None
     def step(ranks: DataFrame, iter: Int): DataFrame = {
       val dangling = ranks.filter(!col("hasOut"))
@@ -116,9 +123,9 @@ object PageRank {
           (lit((1.0 - alpha) / n) +
             lit(alpha) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"),
           col("prevRank"))
-        .withColumn("delta", abs(col("rank") - col("prevRank")))
+        .observe(obs,
+          max(abs(col("rank") - col("prevRank"))).as("maxDelta"))
         .drop("prevRank")
-        .observe(obs, max(col("delta")).as("maxDelta"))
     }
 
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =

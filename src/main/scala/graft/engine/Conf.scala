@@ -32,8 +32,14 @@ object Conf {
     }
   }
 
-  /** The iterative-engine pin — see object doc. */
+  /** The iterative-engine pin — see object doc. `preferSortMergeJoin=
+    * false` additionally lets the planner take a shuffled-hash join where
+    * its size conditions hold (guide §3.1/§9): the per-iteration
+    * state⋈edges joins re-SORT both sides every round under sort-merge,
+    * while the hash build side is the (small) state; spill safety at
+    * scale is AQE's skew split + the size conditions themselves. */
   def withIterTuning[T](spark: SparkSession)(body: => T): T =
     withConf(spark,
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")(body)
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.join.preferSortMergeJoin" -> "false")(body)
 }

@@ -787,6 +787,8 @@ object Walk {
             frontier.collect(),
             neededOf = w => Seq(w._3),
             fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.EdataAdjRow].collect()),
+            fetchAll = lim =>
+              fetchAllRows(adjDf, lim)(_.as[graft.model.EdataAdjRow].collect()),
             vOf = _.v,
             degOf = _.nbrs.length,
             advance = { (w, look) =>
@@ -1069,37 +1071,81 @@ object Walk {
     * @param advance chain one walker against the lookup; returns its new
     *                footprint rows plus Some(parked walker) iff it
     *                stopped on a TailUnfetched vertex */
+  /** Whole-CSR row cap for the tail's one-shot probe (r6): when the
+    * ENTIRE bucketed CSR fits this many rows, the tail fetches it once
+    * and never parks a walker again — the whole tail costs ONE Spark job
+    * instead of ~one vertex-level fetch per step (the scattered tool-edge
+    * jumps otherwise discover a new vertex set every pass). The probe
+    * asks for cap+1 rows through a limit, so at 100 TB it reads a bounded
+    * prefix, notices the overflow, and the tail stays on vertex-pruned
+    * IN-set fetches exactly as before. The row cap is a first bound; the
+    * REAL memory bound is [[TailNbrBudget]], enforced row-by-row during
+    * the insert — a hub-heavy prefix aborts the full-fetch attempt (the
+    * rows inserted so far stay valid) and the tail continues vertex-
+    * pruned. */
+  val TailFullFetchRowCap = 262144
+
   private def chainedDriverTail[W: scala.reflect.ClassTag, A, F](
       walkers0: Array[W],
       neededOf: W => Seq[Long],
       fetch: Seq[Long] => Array[A],
+      fetchAll: Int => Array[A],
       vOf: A => Long,
       degOf: A => Int,
       advance: (W, Long => TailAdj[A]) => (Seq[F], Option[W]),
       label: String): Seq[F] = {
     val csr = new scala.collection.mutable.HashMap[Long, A]()
     val dangling = new scala.collection.mutable.HashSet[Long]()
+    // true once the FULL CSR sits in `csr`: absence proves a vertex
+    // dangling, no walker parks again, no further fetches can occur
+    var allFetched = false
+    var triedFull = false
     var nbrBudget = 0L
     var live = walkers0
     val out = new scala.collection.mutable.ArrayBuffer[F]()
     var fetches = 0
     while (live.nonEmpty) {
-      val needed = live.iterator.flatMap(neededOf)
-        .filter(v => !csr.contains(v) && !dangling(v)).toSet.toSeq
+      val needed =
+        if (allFetched) Seq.empty
+        else live.iterator.flatMap(neededOf)
+          .filter(v => !csr.contains(v) && !dangling(v)).toSet.toSeq
       if (needed.nonEmpty) {
         if (nbrBudget > TailNbrBudget) {
           // refetch-on-demand eviction: parked walkers re-request what
           // they still need; shared hub arrays stay alive via walker refs
+          // (cannot fire after a successful full fetch — needed is empty)
           csr.clear(); nbrBudget = 0L
         }
-        fetch(needed).foreach { a => csr.update(vOf(a), a); nbrBudget += degOf(a) }
-        needed.foreach(v => if (!csr.contains(v)) { dangling += v; () })
-        fetches += 1
+        var served = false
+        if (!triedFull) {
+          triedFull = true
+          val rows = fetchAll(TailFullFetchRowCap + 1)
+          fetches += 1
+          if (rows.length <= TailFullFetchRowCap) {
+            var i = 0
+            var fits = true
+            while (i < rows.length && fits) {
+              val a = rows(i)
+              csr.update(vOf(a), a)
+              nbrBudget += degOf(a)
+              if (nbrBudget > TailNbrBudget) fits = false // abort: rows kept, not "all"
+              i += 1
+            }
+            allFetched = fits
+            served = fits
+          } // else: CSR too large to hold driver-side — vertex mode below
+        }
+        if (!served) {
+          fetch(needed).foreach { a => csr.update(vOf(a), a); nbrBudget += degOf(a) }
+          needed.foreach(v => if (!csr.contains(v)) { dangling += v; () })
+          fetches += 1
+        }
       }
       val lookup: Long => TailAdj[A] = v =>
         csr.get(v) match {
           case Some(a) => TailHave(a)
-          case None => if (dangling(v)) TailDangling else TailUnfetched
+          case None =>
+            if (dangling(v) || allFetched) TailDangling else TailUnfetched
         }
       live = live.flatMap { w =>
         val (foot, parked) = advance(w, lookup)
@@ -1112,6 +1158,14 @@ object Walk {
         s"$fetches pruned fetches, ${out.length} footprints, zero exchange")
     out.toSeq
   }
+
+  /** One-shot capped CSR probe for the driver tail: the persisted
+    * bucketed CSR through a row limit, so an at-scale CSR reads only a
+    * bounded prefix before the overflow is noticed. */
+  private def fetchAllRows[A](
+      adjDf: DataFrame, limit: Int)(
+      collect: DataFrame => Array[A]): Array[A] =
+    collect(adjDf.limit(limit).select(col("adj.*")))
 
   /** The live-bucket CSR prune shared by the four chained kernels: rounds
     * ≥ 1 hold only bucket-crossers, so the CSR side shrinks to their live
@@ -1769,6 +1823,8 @@ object Walk {
             frontier.collect(),
             neededOf = w => Seq(w._3),
             fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.AdjRow].collect()),
+            fetchAll = lim =>
+              fetchAllRows(adjDf, lim)(_.as[graft.model.AdjRow].collect()),
             vOf = _.v,
             degOf = _.nbrs.length,
             advance = { (w, look) =>
@@ -1954,6 +2010,8 @@ object Walk {
             neededOf = w =>
               if (w._4 >= 0L && w._5.isEmpty) Seq(w._3, w._4) else Seq(w._3),
             fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.AdjRow].collect()),
+            fetchAll = lim =>
+              fetchAllRows(adjDf, lim)(_.as[graft.model.AdjRow].collect()),
             vOf = _.v,
             degOf = _.nbrs.length,
             advance = { (w, look) =>
@@ -3108,6 +3166,8 @@ object Walk {
             frontier.collect(),
             neededOf = w => Seq(w._3),
             fetch = vs => fetchByVertex(adjDf, vs)(_.as[graft.model.TypedAdjRow].collect()),
+            fetchAll = lim =>
+              fetchAllRows(adjDf, lim)(_.as[graft.model.TypedAdjRow].collect()),
             vOf = _.v,
             degOf = _.nbrs.length,
             advance = { (w, look) =>
