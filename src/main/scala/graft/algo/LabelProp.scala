@@ -1,7 +1,7 @@
 package graft.algo
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.engine.Iterate
@@ -26,12 +26,9 @@ object LabelProp {
       .join(state.select(col("v").as("src"), col("label")), Seq("src"))
       .groupBy(col("dst").as("v"), col("label"))
       .agg(sum("w").as("wt"))
-    val rankW = Window.partitionBy(col("v"))
-      .orderBy(col("wt").desc, col("label").asc)
     byLabel
-      .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") === 1)
-      .select(col("v"), col("label"))
+      .groupBy(col("v"))
+      .agg(max_by(col("label"), struct(col("wt"), -col("label"))).as("label"))
   }
 
   /** @return (v LONG, label LONG) after exactly `iters` iterations. */

@@ -40,7 +40,7 @@ object PageRank {
     val vflag = verts
       .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
       .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
-    val ranks = vflag.select(col("v"), col("hasOut"), lit(1e-4).as("rank"), lit(1.0).as("delta"))
+    val ranks = vflag.select(col("v"), col("hasOut"), lit(1e-4).as("rank"))
     val dangling = ranks.filter(!col("hasOut"))
       .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
     val contrib = trans
@@ -53,6 +53,7 @@ object PageRank {
       .select(col("v"), col("hasOut"),
         (lit((1.0 - alpha)) + lit(alpha) * (coalesce(col("c"), lit(0.0)) + col("dmass"))).as("rank"),
         abs(col("rank") - col("prevRank")).as("delta"))
+      .drop("delta")
   }
 
   /** @param fixedIter run exactly this many iterations (no convergence
@@ -65,7 +66,8 @@ object PageRank {
       maxIter: Int = 100,
       fixedIter: Option[Int] = None,
       store: Option[Iterate.CheckpointStore] = None,
-      runName: String = "pagerank"): DataFrame = {
+      runName: String = "pagerank",
+      memTruncate: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     graft.engine.Conf.withIterTuning(spark) {
 
@@ -75,7 +77,6 @@ object PageRank {
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("p"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    trans.count()
 
     // vertices flagged dangling (no out-edges) so the dangling-mass term
     // is a filter+sum, not an anti-join. r6: built directly (no separate
@@ -84,7 +85,24 @@ object PageRank {
       .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
       .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vflag.count().toDouble
+
+    // the two cache materializations are independent — overlap them so
+    // the second back-fills executors freed by the first's stragglers
+    // (guide §2.6); actions are only sequential when the driver makes
+    // them so
+    val n = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val ft = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = trans.count()
+        })
+        val fv = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = vflag.count()
+        })
+        ft.get()
+        fv.get().toDouble
+      } finally pool.shutdown()
+    }
 
     // r6: the checkpointed state is (v, hasOut, rank) only — the delta
     // exists solely as the observed max metric, so it no longer rides
@@ -131,7 +149,8 @@ object PageRank {
     def converged(prev: DataFrame, next: DataFrame, iter: Int): Boolean =
       curObs.get.get("maxDelta").asInstanceOf[Double] < tol
 
-    val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store)
+    val out = Iterate.run(runName, r0, step, converged, maxIter, fixedIter, store,
+        memTruncate)
       .select(col("v"), col("rank"))
     trans.unpersist(false)
     vflag.unpersist(false)

@@ -24,6 +24,19 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
 
+  /** Explain-only replica of the pre-checkpoint count plan (r06 plan
+    * audit — [[count]] itself materializes eagerly, so its returned plan
+    * is just the checkpoint scan). */
+  def planForExplain(edges: DataFrame): DataFrame = {
+    val e = oriented(edges)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges
+      .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+  }
+
   /** Global triangle count: 1 row, 1 column `triangles`. The result is
     * materialized eagerly (it is one row / |V| rows) so the oriented edge
     * cache can be released before returning — r2 leaked one persisted

@@ -39,7 +39,8 @@ object BenchExtra {
     args.headOption match {
       case Some("plans") => plans(spark, sfDir, args.lift(1).getOrElse("plans/r06"))
       case Some("time") => timings(spark, sfDir, args.drop(1).toSet)
-      case other => sys.error(s"unknown mode $other (plans|time)")
+      case Some("prjobs") => prJobs(spark, sfDir)
+      case other => sys.error(s"unknown mode $other (plans|time|prjobs)")
     }
     spark.stop()
   }
@@ -68,7 +69,7 @@ object BenchExtra {
     dump("pagerank_step", PageRank.stepPlanForExplain(e))
     dump("cc_round", Components.roundPlanForExplain(e))
     dump("lpa_step", LabelProp.stepPlanForExplain(e))
-    dump("triangles", Triangles.count(e))
+    dump("triangles", Triangles.planForExplain(e))
     dump("deepwalk_step", Walk.firstOrderStepPlanForExplain(e))
     dump("node2vec_step", Walk.node2vecStepPlanForExplain(e))
 
@@ -77,6 +78,36 @@ object BenchExtra {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     dump("ann_topk", graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5))
     e.unpersist(false)
+  }
+
+  /** Job-level trace of one warm pagerank_conv run: every Spark job's
+    * wall and stage count, so the per-iteration fixed costs (broadcast
+    * builds, AQE stage materializations, the truncation write) are
+    * attributable individually. */
+  def prJobs(spark: SparkSession, sfDir: String): Unit = {
+    val edges = graft.SparkEntry.eventEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    PageRank.run(edges, tol = 1e-6, maxIter = 60).count() // warm-up
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
+        starts.put(e.jobId, (System.nanoTime(), e.stageInfos.size, desc))
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.get(e.jobId)).foreach { case (t0, nStages, desc) =>
+          jobs.add(f"job=${e.jobId}%4d wall=${(System.nanoTime() - t0) / 1e6}%7.1f ms stages=$nStages%2d $desc")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    time("pagerank_conv traced") { PageRank.run(edges, tol = 1e-6, maxIter = 60).count() }
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500)
+    jobs.forEach(s => println(s"[prjobs] $s"))
+    edges.unpersist(false)
   }
 
   def timings(spark: SparkSession, sfDir: String, phases: Set[String]): Unit = {
@@ -104,6 +135,17 @@ object BenchExtra {
       time("pagerank_conv #1") { PageRank.run(edges, tol = 1e-6, maxIter = 60).count() }
       time("pagerank_conv #2") { PageRank.run(edges, tol = 1e-6, maxIter = 60).count() }
       time("pagerank_conv #3") { PageRank.run(edges, tol = 1e-6, maxIter = 60).count() }
+    }
+
+    if (want("prmem")) {
+      (1 to 3).foreach { i =>
+        time(s"pagerank parquet #$i") {
+          PageRank.run(edges, tol = 1e-6, maxIter = 60).count()
+        }
+        time(s"pagerank memTrunc #$i") {
+          PageRank.run(edges, tol = 1e-6, maxIter = 60, memTruncate = true).count()
+        }
+      }
     }
 
     if (want("cc")) {
