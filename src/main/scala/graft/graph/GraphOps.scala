@@ -160,9 +160,16 @@ object GraphOps {
         case Some(cached) => cached.as[AdjRow]
         case None => adjacency(edges)
       }
+      // r6: hash-partitioned by bucket BEFORE persisting — the chained
+      // kernels' cogroups key the CSR side on this very column
+      // (relationally, Walk.bucketKeyed), so the cached partitioning
+      // satisfies the cogroup's distribution and the CSR is shuffled
+      // ONCE at build instead of once per walk call (guide §2.4:
+      // "two operations keyed the same way can share one exchange").
       val df = source
         .map(a => (a.v / rangeSize, a.v, a))
         .toDF("bucket", "v", "adj")
+        .repartition(col("bucket"))
         .sortWithinPartitions("v")
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       df.count()

@@ -40,6 +40,7 @@ object BenchExtra {
       case Some("plans") => plans(spark, sfDir, args.lift(1).getOrElse("plans/r06"))
       case Some("time") => timings(spark, sfDir, args.drop(1).toSet)
       case Some("prjobs") => prJobs(spark, sfDir)
+      case Some("cogroup") => cogroupPlan(spark, sfDir)
       case other => sys.error(s"unknown mode $other (plans|time|prjobs)")
     }
     spark.stop()
@@ -78,6 +79,34 @@ object BenchExtra {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     dump("ann_topk", graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5))
     e.unpersist(false)
+  }
+
+  /** Prints the physical plan of one chained cogroup round — the check
+    * that the CSR side carries NO exchange (bucket-partitioned cache +
+    * relational grouping, r6). */
+  def cogroupPlan(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val edges = graft.SparkEntry.eventEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val starts = Walk.equalStarts(edges, 1000L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null && (m.shuffleWriteMetrics.bytesWritten > 0))
+          println(f"[cogroup] stage=${e.stageInfo.stageId}%4d " +
+            f"shufWrite=${m.shuffleWriteMetrics.bytesWritten}%10d B " +
+            f"recs=${m.shuffleWriteMetrics.recordsWritten}%8d  ${e.stageInfo.name.take(60)}")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = Walk.firstOrderChained(edges, starts, maxSteps = 10,
+      tailThreshold = 0) // force cogroup rounds (no driver tail)
+    println("[cogroup] chained rows=" + out.count())
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    edges.unpersist(false)
   }
 
   /** Job-level trace of one warm pagerank_conv run: every Spark job's

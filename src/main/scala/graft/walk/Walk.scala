@@ -1,6 +1,6 @@
 package graft.walk
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, KeyValueGroupedDataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.graph.GraphOps
@@ -714,11 +714,11 @@ object Walk {
       .as[graft.model.EdataAdjRow]
       .map(a => (a.v / rangeSize, a.v, a))
       .toDF("bucket", "v", "adj")
+      .repartition(col("bucket")) // shuffled once at build — see bucketKeyed
       .sortWithinPartitions("v")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     adjDf.count()
-    def typedAdj(df: DataFrame) =
-      df.select(col("bucket"), col("adj")).as[(Long, graft.model.EdataAdjRow)].groupByKey(_._1)
+    def typedAdj(df: DataFrame) = bucketKeyed[graft.model.EdataAdjRow](df)
     val adjB = typedAdj(adjDf)
 
     val unbiased = config.static == StaticComp.Unbiased
@@ -1166,6 +1166,26 @@ object Walk {
       adjDf: DataFrame, limit: Int)(
       collect: DataFrame => Array[A]): Array[A] =
     collect(adjDf.limit(limit).select(col("adj.*")))
+
+  /** Relationally-keyed CSR side for the chained cogroups (r6): grouping
+    * by the materialized `bucket` COLUMN (not an opaque groupByKey
+    * lambda) lets EnsureRequirements see that the persisted cache is
+    * already hash-partitioned by bucket, so the cogroup adds NO exchange
+    * on the CSR side — the graph is shuffled once at cache build, never
+    * per walk call. Key values are identical to the old lambda (the
+    * column IS v / rangeSize), so kernel inputs are unchanged row-for-row
+    * (ChainSpec bitwise parity covers it). */
+  private def bucketKeyed[A: Encoder](df: DataFrame)(
+      implicit tup: Encoder[(Long, A)]): KeyValueGroupedDataset[Long, (Long, A)] =
+    // the grouping expression is aliased "value" to mirror the walker
+    // side's groupByKey key schema exactly (CoGroup requires equal
+    // grouping schemas), while the data row stays the exact (bucket,
+    // adj) pair the tuple deserializer expects; ProjectExec rewrites the
+    // cached HashPartitioning(bucket) through the alias, so the CSR side
+    // still satisfies the cogroup's distribution with no exchange
+    df.select(col("bucket").as("_1"), col("adj").as("_2"))
+      .groupBy(col("_1").as("value"))
+      .as[Long, (Long, A)](Encoders.scalaLong, tup)
 
   /** The live-bucket CSR prune shared by the four chained kernels: rounds
     * ≥ 1 hold only bucket-crossers, so the CSR side shrinks to their live
@@ -1779,8 +1799,7 @@ object Walk {
     // alias-table build (the count also materializes it and gates tail
     // bucket pruning)
     val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
-    def typed(df: DataFrame) =
-      df.select(col("bucket"), col("adj")).as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) = bucketKeyed[graft.model.AdjRow](df)
     val adjB = typed(adjDf)
 
     val run = new DurableChainedRun(spark, store, runName,
@@ -1952,8 +1971,7 @@ object Walk {
 
     // session-cached bucketed CSR (see firstOrderChained)
     val adjDf = GraphOps.bucketedAdjacencyCached(edges, rangeSize)
-    def typed(df: DataFrame) =
-      df.select(col("bucket"), col("adj")).as[(Long, graft.model.AdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) = bucketKeyed[graft.model.AdjRow](df)
     val adjB = typed(adjDf)
 
     val run = new DurableChainedRun(spark, store, runName,
@@ -3114,11 +3132,11 @@ object Walk {
       .as[graft.model.TypedAdjRow]
       .map(a => (a.v / rangeSize, a.v, a))
       .toDF("bucket", "v", "adj")
+      .repartition(col("bucket")) // shuffled once at build — see bucketKeyed
       .sortWithinPartitions("v")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     adjDf.count()
-    def typed(df: DataFrame) =
-      df.select(col("bucket"), col("adj")).as[(Long, graft.model.TypedAdjRow)].groupByKey(_._1)
+    def typed(df: DataFrame) = bucketKeyed[graft.model.TypedAdjRow](df)
     val adjB = typed(adjDf)
 
     val schemesB = schemes.map(_.map(_.toArray).toArray).toArray
