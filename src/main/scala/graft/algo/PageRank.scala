@@ -107,20 +107,41 @@ object PageRank {
     // r6: the checkpointed state is (v, hasOut, rank) only — the delta
     // exists solely as the observed max metric, so it no longer rides
     // every per-iteration parquet row
+    val obs0 = new org.apache.spark.sql.Observation(s"$runName-m0")
     val r0 = vflag.select(col("v"), col("hasOut"), lit(1.0 / n).as("rank"))
+      .observe(obs0,
+        coalesce(sum(when(!col("hasOut"), col("rank"))), lit(0.0)).as("dmass"))
 
-    // the max|Δ| convergence metric rides the truncation write as an
-    // observe() metric — the check is a metric read, not a second scan of
-    // the just-written checkpoint. (An r6 attempt to ALSO carry the
-    // dangling mass as an observed metric and re-inject it as lit(dmass)
-    // regressed: a fresh double literal per iteration defeats the
-    // generated-code cache, and the per-iteration recompile costs more
-    // than the broadcast-subquery job it saved. The scalar crossJoin
-    // compiles once and stays.)
-    var curObs: Option[org.apache.spark.sql.Observation] = None
+    // every truncation write carries TWO observed metrics: the max|Δ|
+    // convergence check AND the state's dangling-rank sum, so iteration
+    // k+1 gets its dangling mass off the driver instead of re-aggregating
+    // the just-written checkpoint through a broadcast subquery. The
+    // scalar re-enters the plan as a one-row LOCAL relation (data, not a
+    // code literal — a lit(dmass) variant regressed: a fresh double
+    // literal per iteration defeats the generated-code cache and the
+    // recompile cost exceeded the saved job), and broadcasting a
+    // LocalTableScan launches no job at all — one Spark job and one
+    // checkpoint scan fewer per iteration. The summed double is the SAME
+    // aggregate the subquery computed, bit-for-bit through the metric row.
+    val dmassAgg =
+      coalesce(sum(when(!col("hasOut"), col("rank"))), lit(0.0)).as("dmass")
+    val dmassSchema = new org.apache.spark.sql.types.StructType()
+      .add("dmass", "double", nullable = false)
+    // a durable run that RESUMES never executes r0's truncation, so obs0
+    // would block forever — detect resume the same way Iterate does and
+    // let the first step fall back to one re-aggregation
+    val resumed = store.exists(_.latest(runName).isDefined)
+    var curObs: Option[org.apache.spark.sql.Observation] =
+      if (resumed) None else Some(obs0)
     def step(ranks: DataFrame, iter: Int): DataFrame = {
-      val dangling = ranks.filter(!col("hasOut"))
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val dmassVal: Double = curObs match {
+        case Some(o) => o.get("dmass").asInstanceOf[Double]
+        case None => // resumed durable run: r0's observation never executed
+          ranks.filter(!col("hasOut"))
+            .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      }
+      val dangling = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(dmassVal)), dmassSchema)
       val contrib = trans
         .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("v"))
@@ -142,7 +163,8 @@ object PageRank {
             lit(alpha) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"),
           col("prevRank"))
         .observe(obs,
-          max(abs(col("rank") - col("prevRank"))).as("maxDelta"))
+          max(abs(col("rank") - col("prevRank"))).as("maxDelta"),
+          dmassAgg)
         .drop("prevRank")
     }
 
