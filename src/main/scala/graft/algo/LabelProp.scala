@@ -37,11 +37,14 @@ object LabelProp {
       iters: Int = 3,
       store: Option[Iterate.CheckpointStore] = None,
       runName: String = "lpa"): DataFrame = {
+    // persisted lazily (r6): the first iteration's single reference
+    // materializes the cache inside its own job — a separate count()
+    // barrier bought nothing (hash repartition samples nothing, and the
+    // step plan scans `und` exactly once, so no duplicate compute risk)
     val und = GraphOps.undirect(edges)
       .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
 
     val state0 = GraphOps.vertices(edges).select(col("v"), col("v").as("label"))
 

@@ -41,8 +41,12 @@ object PageRank {
       .join(outw.select(col("src").as("v"), lit(true).as("hasOut")), Seq("v"), "left")
       .select(col("v"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
     val ranks = vflag.select(col("v"), col("hasOut"), lit(1e-4).as("rank"))
-    val dangling = ranks.filter(!col("hasOut"))
-      .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+    // the shipped loop injects the PREVIOUS iteration's observed dangling
+    // sum as a one-row local relation (no job, no subquery)
+    val dangling = edges.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0.0)),
+      new org.apache.spark.sql.types.StructType()
+        .add("dmass", "double", nullable = false))
     val contrib = trans
       .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
       .groupBy(col("dst").as("v"))
