@@ -1083,7 +1083,10 @@ object Walk {
     * the insert — a hub-heavy prefix aborts the full-fetch attempt (the
     * rows inserted so far stay valid) and the tail continues vertex-
     * pruned. */
-  val TailFullFetchRowCap = 262144
+  // var (not val) as a test hook: R06OptSpec pins it to 0 to force the
+  // overflow branch (vertex-pruned IN-set fetches) at test scale and
+  // asserts bitwise equality with the full-fetch path
+  @volatile var TailFullFetchRowCap: Int = 262144
 
   private def chainedDriverTail[W: scala.reflect.ClassTag, A, F](
       walkers0: Array[W],
