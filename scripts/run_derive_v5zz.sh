@@ -13,7 +13,7 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network
 export SPARK_GRAFT_PHASES="derive_edges"
 
 mkdir -p target/campaigns
-for i in "${IDX:-1}"; do
+for i in ${IDX:-1}; do  # unquoted: IDX="1 2" iterates (ADVICE r5)
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 8 "BENCH/PAIR_v5zz_1500k_r${i}.md" \
     > "target/campaigns/v5zz_1500k_r${i}.log" 2>&1
   echo "v5zz r${i} rc=$?" >> target/campaigns/status

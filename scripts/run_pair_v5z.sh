@@ -24,11 +24,17 @@ OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s -Dspark.sql.adaptive.coalescePartitions.parallelismFirst=false -Xmx${HEAP:-32g}"
 export SPARK_GRAFT_PHASES="derive_edges,pagerank_10it,cc_conv"
 
-for i in "${IDX:-1}"; do
+for i in ${IDX:-1}; do  # unquoted: IDX="1 2" iterates (ADVICE r5)
+  # stale-TSV guard (ADVICE r5): campaigns share the /tmp paths — delete
+  # before the run and only copy results when the run succeeded
+  rm -f /tmp/graft-scaling-8.tsv /tmp/graft-scaling-32.tsv
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 6000000 8 "BENCH/PAIR_v5z_6M_r${i}.md" \
     > "target/campaigns/v5z_6M_r${i}.log" 2>&1
-  echo "v5z r${i} rc=$?" >> target/campaigns/status
-  cp /tmp/graft-scaling-8.tsv  "BENCH/PAIR_v5z_6M_r${i}_N.tsv"  2>/dev/null
-  cp /tmp/graft-scaling-32.tsv "BENCH/PAIR_v5z_6M_r${i}_4N.tsv" 2>/dev/null
+  rc=$?
+  echo "v5z r${i} rc=$rc" >> target/campaigns/status
+  if [ "$rc" -eq 0 ]; then
+    cp /tmp/graft-scaling-8.tsv  "BENCH/PAIR_v5z_6M_r${i}_N.tsv"
+    cp /tmp/graft-scaling-32.tsv "BENCH/PAIR_v5z_6M_r${i}_4N.tsv"
+  fi
 done
 echo "v5z complete" >> target/campaigns/status

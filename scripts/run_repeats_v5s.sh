@@ -15,7 +15,7 @@ JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network
 export SPARK_GRAFT_PHASES="node2vec_reject"
 
 mkdir -p target/campaigns
-for i in "${IDX:-5}"; do
+for i in ${IDX:-5}; do  # unquoted: IDX="1 2" iterates (ADVICE r5)
   java $OPENS $JOPTS -cp "$CP" graft.Scaling 1500000 2 "BENCH/PAIR_v5s_1500k_r${i}.md" \
     > "target/campaigns/v5s_1500k_r${i}.log" 2>&1
   echo "v5s r${i} rc=$?" >> target/campaigns/status

@@ -75,7 +75,11 @@ object PageRank {
     val spark = edges.sparkSession
     graft.engine.Conf.withIterTuning(spark) {
 
+    // persisted: BOTH setup materializations (trans and vflag) consume
+    // outw — without the cache each of the two overlapped jobs aggregates
+    // the edge table independently; released as soon as n is known
     val outw = edges.groupBy(col("src")).agg(sum("weight").as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // normalized transition edges, co-partitioned by src once for all iters
     val trans = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("p"))
@@ -107,6 +111,7 @@ object PageRank {
         fv.get().toDouble
       } finally pool.shutdown()
     }
+    outw.unpersist(false)
 
     // r6: the checkpointed state is (v, hasOut, rank) only — the delta
     // exists solely as the observed max metric, so it no longer rides
